@@ -1,0 +1,127 @@
+"""Host-side audio I/O and windowing.
+
+Replaces the reference's librosa/soundfile usage (ref: howl/utils/audio_utils.py:8,26)
+with a dependency-light implementation: stdlib ``wave`` + numpy for WAV decode and
+encode, scipy polyphase resampling, and a strided window iterator. Device code
+never touches this module — it only ever sees fixed-rate float32 PCM arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import wave
+from pathlib import Path
+from typing import Iterator, Union
+
+import numpy as np
+
+from howl_tpu.settings import SETTINGS
+
+PathLike = Union[str, Path]
+
+
+def read_wav(path: PathLike) -> tuple[np.ndarray, int]:
+    """Decode a WAV file to float32 in [-1, 1]. Returns (audio[channels, n], sr)."""
+    with wave.open(str(path), "rb") as f:
+        sr = f.getframerate()
+        n_channels = f.getnchannels()
+        sample_width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if sample_width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sample_width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sample_width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sample_width} in {path}")
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels).T
+    else:
+        data = data[None, :]
+    return data, sr
+
+
+def write_wav(path: PathLike, audio: np.ndarray, sample_rate: int = None):
+    """Encode float32 [-1, 1] mono/planar audio as 16-bit PCM WAV."""
+    sample_rate = sample_rate or SETTINGS.audio.sample_rate
+    audio = np.asarray(audio)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    pcm = np.clip(audio * 32768.0, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(pcm.shape[0])
+        f.setsampwidth(2)
+        f.setframerate(int(sample_rate))
+        f.writeframes(pcm.T.tobytes())
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling along the last axis."""
+    if orig_sr == target_sr:
+        return audio
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(orig_sr), int(target_sr))
+    return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+
+
+def _load_uncached(path: str, sample_rate: int, mono: bool) -> np.ndarray:
+    suffix = Path(path).suffix.lower()
+    if suffix not in (".wav", ".wave"):
+        raise ValueError(
+            f"howl_tpu decodes WAV natively; got {suffix!r} ({path}). "
+            "Transcode other formats to 16 kHz WAV on ingest (e.g. with ffmpeg)."
+        )
+    data, sr = read_wav(path)
+    if mono and data.shape[0] > 1:
+        data = data.mean(axis=0, keepdims=True)
+    data = resample(data, sr, sample_rate)
+    return np.ascontiguousarray(data[0] if mono else data, dtype=np.float32)
+
+
+@functools.lru_cache(maxsize=SETTINGS.cache.cache_size)
+def _cached_load(path: str, sample_rate: int, mono: bool) -> np.ndarray:
+    arr = _load_uncached(path, sample_rate, mono)
+    arr.setflags(write=False)
+    return arr
+
+
+def silent_load(path: PathLike, sample_rate: int = None, mono: bool = None) -> np.ndarray:
+    """Load audio as float32 at the configured sample rate; errors return silence.
+
+    Mirrors the reference contract (bad clips become empty arrays and are
+    filtered downstream) while caching decodes (ref: howl/utils/audio_utils.py:8).
+    """
+    sample_rate = sample_rate or SETTINGS.audio.sample_rate
+    mono = SETTINGS.audio.use_mono if mono is None else mono
+    try:
+        return _cached_load(str(path), int(sample_rate), bool(mono))
+    except Exception:  # noqa: BLE001 — parity: any decode failure yields silence
+        return np.zeros(0, dtype=np.float32)
+
+
+def stride(
+    audio: np.ndarray, window_ms: float, stride_ms: float, sample_rate: int = None
+) -> Iterator[np.ndarray]:
+    """Yield sliding windows over the last axis (ref: howl/utils/audio_utils.py:26).
+
+    Windows start every ``stride_ms``; the final, shorter window is included,
+    matching the reference generator's behavior.
+    """
+    sample_rate = sample_rate or SETTINGS.audio.sample_rate
+    window = int(window_ms / 1000 * sample_rate)
+    hop = int(stride_ms / 1000 * sample_rate)
+    for start in range(0, max(audio.shape[-1] - 1, 1), hop):
+        yield audio[..., start : start + window]
+
+
+def frame_count(num_samples: int, num_fft: int = None, hop_length: int = None, center: bool = True) -> int:
+    """Number of STFT frames produced for ``num_samples`` of audio."""
+    num_fft = num_fft or SETTINGS.audio_transform.num_fft
+    hop_length = hop_length or SETTINGS.audio_transform.hop_length
+    if center:
+        return num_samples // hop_length + 1
+    return max((num_samples - num_fft) // hop_length + 1, 0)
