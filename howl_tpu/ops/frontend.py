@@ -1,0 +1,206 @@
+"""Log-mel audio frontend, pure-JAX reference implementation.
+
+Capability parity with the reference's torchaudio pipeline
+(ref: howl/data/transform/transform.py:234-296 — MelSpectrogram(n_fft=512,
+hop=200, power=2, HTK mel, no norm, center/reflect, periodic Hann) -> +1e-7 ->
+log -> ComputeDeltas stacked as (log-mels, deltas, accels) channels), but built
+TPU-first:
+
+  * framing is a static gather; the DFT is expressed as two real GEMMs
+    (frames @ cos, frames @ sin) which XLA maps straight onto the MXU — for
+    512-point transforms this beats an FFT butterfly on TPU and fuses with the
+    downstream mel GEMM;
+  * the mel projection is a single (n_freqs, n_mels) matmul;
+  * everything is shape-static and jit/vmap/grad-safe.
+
+A fused single-pass Pallas kernel lives in frontend_pallas.py; this module is
+the correctness oracle for it.
+
+VTLP (vocal tract length perturbation) builds a warped filterbank with the same
+breakpoint algebra as the reference (transform.py:373-449) and is traceable in
+the warp factor so a fresh random alpha per training batch stays inside jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hz_to_mel(f):
+    """HTK mel scale (torchaudio MelSpectrogram default)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_freqs: int, n_mels: int, sample_rate: int, f_min: float = 0.0, f_max: float = None
+) -> np.ndarray:
+    """Triangular HTK-mel filterbank, shape (n_freqs, n_mels), no normalization."""
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+    m_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]  # (n_mels + 1)
+    slopes = f_pts[None, :] - all_freqs[:, None]  # (n_freqs, n_mels + 2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    return np.maximum(0.0, np.minimum(down, up)).astype(np.float32)
+
+
+def vtlp_filterbank(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: int,
+    alpha,
+    f_min: float = 0.0,
+    f_max: float = None,
+    f_hi: float = 4800.0,
+):
+    """VTLP-warped filterbank; traceable in ``alpha`` (ref: transform.py:373-414).
+
+    Mel breakpoints below the crossover scale by alpha; above, they compress
+    linearly so the Nyquist endpoint is preserved.
+    """
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    S = sample_rate
+    all_freqs = jnp.linspace(0.0, sample_rate // 2, n_freqs)
+    m_pts = jnp.linspace(float(hz_to_mel(f_min)), float(hz_to_mel(f_max)), n_mels + 2)
+    f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    cutoff = f_hi * jnp.minimum(alpha, 1.0) / alpha
+    low = f_pts * alpha
+    denom = S / 2.0 - f_hi * jnp.minimum(alpha, 1.0) / alpha
+    high = S / 2.0 - ((S / 2.0 - f_hi * jnp.minimum(alpha, 1.0)) / denom) * (S / 2.0 - f_pts)
+    f_pts = jnp.where(f_pts <= cutoff, low, high)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    return jnp.maximum(0.0, jnp.minimum(down, up)).astype(jnp.float32)
+
+
+def _hann_window(n: int) -> np.ndarray:
+    """Periodic Hann (torch.hann_window default)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
+def dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis: (n_fft, n_freqs) cosine and sine matrices.
+
+    ``|rfft(x)|^2 == (x @ C)^2 + (x @ S)^2`` — two MXU GEMMs instead of an FFT.
+    """
+    n_freqs = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None] * np.arange(n_freqs)[None, :]
+    ang = 2.0 * np.pi * t / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Geometry of the log-mel frontend; defaults mirror SETTINGS.audio_transform."""
+
+    sample_rate: int = 16000
+    n_fft: int = 512
+    hop_length: int = 200
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: float = None
+    center: bool = True
+    log_offset: float = 1e-7
+
+    @classmethod
+    def from_settings(cls) -> "FrontendConfig":
+        from howl_tpu.settings import SETTINGS
+
+        s = SETTINGS.audio_transform
+        return cls(
+            sample_rate=s.sample_rate, n_fft=s.num_fft, hop_length=s.hop_length, n_mels=s.num_mels
+        )
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        if self.center:
+            return num_samples // self.hop_length + 1
+        return max((num_samples - self.n_fft) // self.hop_length + 1, 0)
+
+    def compute_lengths(self, lengths):
+        """Frame-length formula used by sequential models for packing
+        (parity with ref transform.py:291: ``(len - win) // hop + 1``)."""
+        return (jnp.asarray(lengths) - self.n_fft) // self.hop_length + 1
+
+
+def frame_signal(audio: jnp.ndarray, config: FrontendConfig) -> jnp.ndarray:
+    """(..., samples) -> (..., frames, n_fft) with optional center reflect-pad."""
+    if config.center:
+        pad = config.n_fft // 2
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
+    n_frames = (audio.shape[-1] - config.n_fft) // config.hop_length + 1
+    idx = np.arange(n_frames)[:, None] * config.hop_length + np.arange(config.n_fft)[None, :]
+    return audio[..., idx]
+
+
+@partial(jax.jit, static_argnames=("config", "stacked"))
+def log_mel_spectrogram(audio: jnp.ndarray, config: FrontendConfig = FrontendConfig(), stacked: bool = False):
+    """(B, samples) float32 -> (B, n_mels, frames) log-mel spectrogram.
+
+    ``stacked=True`` additionally returns delta/accel channels as
+    (B, 3, n_mels, frames) matching the reference feature layout.
+    """
+    fb = jnp.asarray(mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max))
+    out = _mel_core(audio, fb, config)
+    return stack_deltas(out) if stacked else out
+
+
+def log_mel_spectrogram_vtlp(audio: jnp.ndarray, alpha, config: FrontendConfig = FrontendConfig(), stacked: bool = False):
+    """VTLP-augmented variant; ``alpha`` may be a traced scalar."""
+    fb = vtlp_filterbank(config.n_freqs, config.n_mels, config.sample_rate, alpha, config.f_min, config.f_max)
+    out = _mel_core(audio, fb, config)
+    return stack_deltas(out) if stacked else out
+
+
+def _mel_core(audio: jnp.ndarray, fb: jnp.ndarray, config: FrontendConfig) -> jnp.ndarray:
+    frames = frame_signal(audio.astype(jnp.float32), config)  # (B, T, n_fft)
+    window = jnp.asarray(_hann_window(config.n_fft))
+    frames = frames * window
+    cos_m, sin_m = dft_matrices(config.n_fft)
+    # HIGHEST precision: the log compresses dynamic range, so bf16 MXU passes
+    # (the TPU f32-matmul default) would leak visible error into the features.
+    # These GEMMs are tiny next to the model convs, so the cost is negligible.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(frames, jnp.asarray(cos_m), precision=hi)  # (B, T, n_freqs) — MXU GEMM
+    im = jnp.matmul(frames, jnp.asarray(sin_m), precision=hi)
+    power = re * re + im * im
+    mel = jnp.matmul(power, fb, precision=hi)  # (B, T, n_mels) — MXU GEMM
+    return jnp.log(mel + config.log_offset).swapaxes(-1, -2)  # (B, n_mels, T)
+
+
+def compute_deltas(x: jnp.ndarray, win_length: int = 5) -> jnp.ndarray:
+    """Regression deltas over the time axis (torchaudio ComputeDeltas semantics:
+    replicate-pad, window N=(win-1)//2, denominator 2*sum(n^2))."""
+    n = (win_length - 1) // 2
+    denom = 2.0 * sum(i * i for i in range(1, n + 1))
+    padded = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(n, n)], mode="edge")
+    out = jnp.zeros_like(x)
+    for i in range(1, n + 1):
+        right = jax.lax.slice_in_dim(padded, n + i, n + i + x.shape[-1], axis=-1)
+        left = jax.lax.slice_in_dim(padded, n - i, n - i + x.shape[-1], axis=-1)
+        out = out + i * (right - left)
+    return out / denom
+
+
+def stack_deltas(log_mels: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_mels, T) -> (B, 3, n_mels, T): log-mels, deltas, accels."""
+    deltas = compute_deltas(log_mels)
+    accels = compute_deltas(deltas)
+    return jnp.stack((log_mels, deltas, accels), axis=1)

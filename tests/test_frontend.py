@@ -1,0 +1,135 @@
+"""Frontend correctness: GEMM-DFT vs FFT oracle, mel filterbank, deltas, VTLP."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def config():
+    from howl_tpu.ops.frontend import FrontendConfig
+
+    return FrontendConfig(sample_rate=16000, n_fft=512, hop_length=200, n_mels=40)
+
+
+def _fft_oracle(audio, config):
+    """Independent numpy implementation: reflect pad -> hann -> rfft -> power -> mel -> log."""
+    from howl_tpu.ops.frontend import mel_filterbank
+
+    pad = config.n_fft // 2
+    audio = np.pad(audio, [(0, 0), (pad, pad)], mode="reflect")
+    n_frames = (audio.shape[-1] - config.n_fft) // config.hop_length + 1
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(config.n_fft) / config.n_fft)
+    frames = np.stack(
+        [audio[:, i * config.hop_length : i * config.hop_length + config.n_fft] for i in range(n_frames)], 1
+    )
+    spec = np.abs(np.fft.rfft(frames * window, axis=-1)) ** 2
+    fb = mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate)
+    return np.log(spec @ fb + config.log_offset).swapaxes(-1, -2)
+
+
+def test_log_mel_matches_fft_oracle(config, rng):
+    from howl_tpu.ops.frontend import log_mel_spectrogram
+
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    ours = np.asarray(log_mel_spectrogram(audio, config))
+    oracle = _fft_oracle(audio, config)
+    assert ours.shape == (2, 40, 81)
+    np.testing.assert_allclose(ours, oracle, atol=2e-3)
+
+
+def test_frame_count_parity(config):
+    from howl_tpu.ops.frontend import log_mel_spectrogram
+
+    # 0.5 s window at 16 kHz -> 41 frames (matches reference center=True framing)
+    audio = np.zeros((1, 8000), np.float32)
+    assert log_mel_spectrogram(audio, config).shape == (1, 40, 41)
+
+
+def test_mel_filterbank_properties(config):
+    from howl_tpu.ops.frontend import mel_filterbank
+
+    fb = mel_filterbank(257, 40, 16000)
+    assert fb.shape == (257, 40)
+    assert fb.min() >= 0
+    # triangles: each filter has a single peak and unit-free energy > 0
+    assert np.all(fb.sum(axis=0) > 0)
+    # low filters are narrower than high filters (mel warping)
+    low_width = np.count_nonzero(fb[:, 1])
+    high_width = np.count_nonzero(fb[:, -2])
+    assert low_width < high_width
+
+
+def test_vtlp_alpha_one_is_identity(config):
+    from howl_tpu.ops.frontend import mel_filterbank, vtlp_filterbank
+
+    base = mel_filterbank(257, 40, 16000)
+    warped = np.asarray(vtlp_filterbank(257, 40, 16000, 1.0))
+    np.testing.assert_allclose(base, warped, atol=1e-4)
+
+
+def test_vtlp_warp_changes_filters_traceably(config):
+    import jax
+
+    from howl_tpu.ops.frontend import vtlp_filterbank
+
+    f = jax.jit(lambda a: vtlp_filterbank(257, 40, 16000, a))
+    fb_low = np.asarray(f(0.9))
+    fb_high = np.asarray(f(1.1))
+    assert not np.allclose(fb_low, fb_high)
+    assert np.isfinite(fb_low).all() and np.isfinite(fb_high).all()
+
+
+def test_compute_deltas_constant_zero():
+    from howl_tpu.ops.frontend import compute_deltas
+
+    x = np.ones((1, 4, 10), np.float32) * 3.0
+    d = np.asarray(compute_deltas(x))
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+def test_compute_deltas_linear_ramp():
+    from howl_tpu.ops.frontend import compute_deltas
+
+    # linear ramp: interior deltas equal the slope
+    t = np.arange(20, dtype=np.float32)
+    x = np.broadcast_to(t, (1, 3, 20)).copy()
+    d = np.asarray(compute_deltas(x))
+    np.testing.assert_allclose(d[..., 4:-4], 1.0, atol=1e-5)
+
+
+def test_stacked_features_shape(config, rng):
+    from howl_tpu.ops.frontend import log_mel_spectrogram
+
+    audio = rng.standard_normal((3, 8000)).astype(np.float32)
+    feats = np.asarray(log_mel_spectrogram(audio, config, stacked=True))
+    assert feats.shape == (3, 3, 40, 41)
+    # channel 0 is the raw log-mels
+    plain = np.asarray(log_mel_spectrogram(audio, config))
+    np.testing.assert_allclose(feats[:, 0], plain, atol=1e-6)
+
+
+def test_zmuv():
+    from howl_tpu.ops.zmuv import ZmuvTransform
+
+    rng = np.random.default_rng(1)
+    zmuv = ZmuvTransform()
+    chunks = [rng.normal(5.0, 2.0, (100,)).astype(np.float32) for _ in range(20)]
+    zmuv.initialize(chunks)
+    allv = np.concatenate(chunks)
+    assert abs(zmuv.mean - allv.mean()) < 1e-4
+    assert abs(zmuv.std - allv.std()) < 1e-3
+    out = np.asarray(zmuv(allv))
+    assert abs(out.mean()) < 1e-4
+    assert abs(out.std() - 1.0) < 1e-3
+    # round-trip
+    from howl_tpu.ops.zmuv import ZmuvTransform as Z
+
+    z2 = Z.from_state_dict(zmuv.state_dict())
+    assert z2.std == zmuv.std
+
+
+def test_compute_lengths_parity(config):
+    # reference formula: (len - win)//hop + 1 (transform.py:291)
+    lengths = np.array([8000, 16000])
+    out = np.asarray(config.compute_lengths(lengths))
+    np.testing.assert_array_equal(out, [(8000 - 512) // 200 + 1, (16000 - 512) // 200 + 1])
