@@ -1,0 +1,170 @@
+"""Audio dataset containers (ref: howl/data/dataset/dataset.py:52-320).
+
+A dataset is a list of ``AudioClipMetadata`` plus decode-on-access audio.
+No torch Dataset machinery: batching/augmentation happen in the host sampler
+(howl_tpu/data/transform) and on device (howl_tpu/ops/augment); these
+containers only answer "give me sample i" and set algebra (filter/split/extend).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from howl_tpu.data.common.label import FrameLabelData
+from howl_tpu.data.common.metadata import AudioClipMetadata
+from howl_tpu.data.common.sample import Sample
+from howl_tpu.settings import SETTINGS
+from howl_tpu.utils import audio_utils
+from howl_tpu.utils.logger import Logger
+
+
+class DatasetType(enum.Enum):
+    TRAINING = enum.auto()
+    DEV = enum.auto()
+    TEST = enum.auto()
+    UNSPECIFIED = enum.auto()
+
+
+class DatasetSplit(str, enum.Enum):
+    TRAINING = "training"
+    DEV = "dev"
+    TEST = "test"
+    UNSPECIFIED = "unspecified"
+
+
+class AudioDataset:
+    """Metadata container with filter/split/extend and statistics."""
+
+    def __init__(
+        self,
+        metadata_list: List[AudioClipMetadata],
+        set_type: DatasetType = DatasetType.UNSPECIFIED,
+        sample_rate: int = None,
+        mono: bool = None,
+        dataset_split: DatasetSplit = DatasetSplit.UNSPECIFIED,
+    ):
+        self.metadata_list = list(metadata_list)
+        self.set_type = set_type
+        self.sample_rate = sample_rate or SETTINGS.audio.sample_rate
+        self.mono = SETTINGS.audio.use_mono if mono is None else mono
+        self.dataset_split = dataset_split
+
+    def __len__(self):
+        return len(self.metadata_list)
+
+    @property
+    def is_training(self) -> bool:
+        return self.set_type == DatasetType.TRAINING
+
+    def filter(self, predicate_fn: Callable[[AudioClipMetadata], bool], clone: bool = False):
+        """Keep metadata matching the predicate (in place unless clone)."""
+        data = list(filter(predicate_fn, self.metadata_list))
+        if clone:
+            other = self._shallow_clone()
+            other.metadata_list = data
+            return other
+        self.metadata_list = data
+        return self
+
+    def split(self, predicate_fn: Callable[[AudioClipMetadata], bool]) -> Tuple["AudioDataset", "AudioDataset"]:
+        """Two datasets: (predicate false, predicate true) — matches the
+        reference's (data1, data2) convention used with Sha256Splitter."""
+        data1, data2 = [], []
+        for metadata in self.metadata_list:
+            (data2 if predicate_fn(metadata) else data1).append(metadata)
+        ds1, ds2 = self._shallow_clone(), self._shallow_clone()
+        ds1.metadata_list, ds2.metadata_list = data1, data2
+        return ds1, ds2
+
+    def extend(self, other: "AudioDataset"):
+        self.metadata_list.extend(other.metadata_list)
+        return self
+
+    def _shallow_clone(self):
+        import copy
+
+        other = copy.copy(self)
+        other.metadata_list = list(self.metadata_list)
+        return other
+
+    def load_audio(self, metadata: AudioClipMetadata) -> np.ndarray:
+        return audio_utils.silent_load(metadata.path, self.sample_rate, self.mono)
+
+    def audio_length_seconds(self, sample_limit: Optional[int] = None) -> float:
+        total = 0.0
+        for metadata in self.metadata_list[:sample_limit]:
+            total += len(self.load_audio(metadata)) / self.sample_rate
+        return total
+
+    def compute_statistics(self, word_searcher=None, compute_length: bool = True) -> dict:
+        """Dataset stats: clip count, audio hours, vocab occurrence counts
+        (ref dataset.py:175-238; sequential here — single-host decode)."""
+        stats = {"num_examples": len(self.metadata_list)}
+        if compute_length:
+            stats["audio_length_seconds"] = self.audio_length_seconds()
+        if word_searcher is not None:
+            counts: dict = {}
+            for metadata in self.metadata_list:
+                for word, count in word_searcher.count_vocab(metadata.transcription).items():
+                    counts[word] = counts.get(word, 0) + count
+            stats["vocab_counts"] = counts
+        return stats
+
+    def print_stats(self, header: str = "", word_searcher=None, compute_length: bool = True):
+        stats = self.compute_statistics(word_searcher, compute_length)
+        Logger.info(f"{header} dataset stats: {stats}")
+        return stats
+
+
+class AudioClipDataset(AudioDataset):
+    """Returns unlabeled samples; audio decoded (and LRU-cached) on access."""
+
+    def __getitem__(self, idx: int) -> Sample:
+        metadata = self.metadata_list[idx]
+        return Sample(metadata, self.load_audio(metadata), self.sample_rate)
+
+
+class WakeWordDataset(AudioDataset):
+    """Attaches frame labels from a labeler on access (ref dataset.py:253-272)."""
+
+    def __init__(self, *args, frame_labeler=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.frame_labeler = frame_labeler
+
+    def __getitem__(self, idx: int) -> Sample:
+        metadata = self.metadata_list[idx]
+        label_data = (
+            self.frame_labeler.compute_frame_labels(metadata)
+            if self.frame_labeler is not None
+            else FrameLabelData()
+        )
+        return Sample(metadata, self.load_audio(metadata), self.sample_rate, label_data=label_data)
+
+
+class AudioClassificationDataset(AudioDataset):
+    """Scalar label from a transcription->label map (ref dataset.py:274-295)."""
+
+    def __init__(self, *args, label_map=None, silence_proportion: float = 0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.label_map = label_map or {}
+        self.silence_proportion = silence_proportion
+        self._num_silence = int(len(self.metadata_list) * silence_proportion)
+
+    def label_of(self, metadata: AudioClipMetadata) -> int:
+        default = self.label_map.get("__default__")
+        return self.label_map.get(metadata.transcription, default)
+
+    def __len__(self):
+        return len(self.metadata_list) + self._num_silence
+
+    def __getitem__(self, idx: int) -> Sample:
+        if idx >= len(self.metadata_list):
+            # synthetic silence sample (ref HonkSpeechCommandsDataset:297-320)
+            silence = np.zeros(self.sample_rate, dtype=np.float32)
+            meta = AudioClipMetadata(path="__silence__.wav", transcription="__silence__")
+            return Sample(meta, silence, self.sample_rate, label=self.label_map.get("__silence__", 0))
+        metadata = self.metadata_list[idx]
+        return Sample(metadata, self.load_audio(metadata), self.sample_rate, label=self.label_of(metadata))

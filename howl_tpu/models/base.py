@@ -1,0 +1,108 @@
+"""Model registry + streaming protocol.
+
+Capability parity with the reference's RegisteredModel (ref: howl/model/base.py:11-37)
+expressed functionally for JAX:
+
+  * models are flax modules; parameters/batch-stats live in a variables pytree;
+  * ``is_sequential`` marks models emitting per-frame logits (CTC objective);
+  * recurrent models expose ``initial_state(batch_size)`` and accept/return the
+    carried streaming state explicitly (the reference mutates
+    ``model.streaming_state``; explicit carry is what `lax.scan` needs).
+
+Canonical model input: features shaped (B, C=3, F, T) exactly as produced by
+the frontend (log-mels, deltas, accels). Models slice the channels they use and
+transpose to TPU-friendly NHWC internally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclass
+class ModelSpec:
+    """Registry entry: constructor + behavioral flags."""
+
+    name: str
+    factory: Callable[..., nn.Module]
+    is_sequential: bool = False  # emits (T, B, L) per-frame logits
+    is_recurrent: bool = False  # carries streaming state
+    defaults: Dict[str, Any] = field(default_factory=dict)
+
+
+MODEL_REGISTRY: Dict[str, ModelSpec] = {}
+
+
+def register_model(name: str, is_sequential: bool = False, is_recurrent: bool = False, **defaults):
+    def wrap(cls):
+        MODEL_REGISTRY[name] = ModelSpec(name, cls, is_sequential, is_recurrent, defaults)
+        cls.registered_name = name
+        return cls
+
+    return wrap
+
+
+def create_model(name: str, num_labels: int, **kwargs) -> nn.Module:
+    try:
+        spec = MODEL_REGISTRY[name]
+    except KeyError as e:
+        raise ValueError(f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}") from e
+    merged = {**spec.defaults, **kwargs}
+    return spec.factory(num_labels=num_labels, **merged)
+
+
+def model_spec(name: str) -> ModelSpec:
+    return MODEL_REGISTRY[name]
+
+
+class HowlModel(nn.Module):
+    """Shared helpers for howl_tpu models."""
+
+    def compute_length(self, length):
+        """Frames of model output per frames of feature input (identity unless
+        the model downsamples time; ref base.py:28)."""
+        return length
+
+    @staticmethod
+    def _mels_only_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+        """(B, C, F, T) -> (B, T, F, 1): log-mel channel in NHWC, time as H."""
+        return x[:, 0].swapaxes(-1, -2)[..., None]
+
+    @staticmethod
+    def _all_channels_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+        """(B, C, F, T) -> (B, T, F, C)."""
+        return jnp.transpose(x, (0, 3, 2, 1))
+
+
+class ConvertedStaticModel(nn.Module):
+    """Turns a static window classifier into a per-frame sequential model by an
+    internal sliding window over the time axis (ref: howl/model/base.py:40-62).
+
+    Expressed as a batched gather + vmapped inner apply so the whole unrolled
+    window sweep compiles to one fused program.
+    """
+
+    inner: nn.Module
+    frame_window_size: int = 40
+    frame_stride_size: int = 10
+
+    def compute_length(self, length):
+        if length is None:
+            return None
+        return jnp.maximum(1, (length - self.frame_window_size) // self.frame_stride_size)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
+        # x: (B, C, F, T)
+        total = x.shape[-1]
+        num_windows = max(1, (total - self.frame_window_size) // self.frame_stride_size)
+        outputs = []
+        for w in range(num_windows):
+            start = w * self.frame_stride_size
+            window = x[..., start : start + self.frame_window_size]
+            outputs.append(self.inner(window, lengths=None, train=train))
+        return jnp.stack(outputs)  # (num_windows, B, L)

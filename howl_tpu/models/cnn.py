@@ -1,0 +1,125 @@
+"""Convolutional wake-word classifiers.
+
+Behavioral parity with ref howl/model/cnn.py (res8 :107-145, small-cnn :40,
+seq-cnn :70) re-expressed in NHWC for the TPU conv pipeline:
+
+  * time is the H axis, mel frequency the W axis, so AvgPool(3, 4) pools
+    (time=3, freq=4) exactly like the reference's permuted layout;
+  * BatchNorm is affine-less (no scale/bias) as in the reference, with batch
+    stats synchronized across the data axis when an ``axis_name`` is given
+    (DP-correct, which the reference never had).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from howl_tpu.models.base import HowlModel, register_model
+
+
+@register_model("res8")
+class Res8(HowlModel):
+    """res8: 1 stem conv + AvgPool + 6 residual 3x3 convs with affine-less
+    BatchNorm + global mean + linear head (~111k params; ref cnn.py:107-145)."""
+
+    num_labels: int
+    num_maps: int = 45
+    pooling: Tuple[int, int] = (3, 4)
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
+        x = self._mels_only_nhwc(x)  # (B, T, F, 1)
+        y = nn.relu(nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, name="conv0")(x))
+        y = nn.avg_pool(y, self.pooling, strides=self.pooling)
+        x = old_x = y
+        for i in range(1, 7):
+            y = nn.relu(
+                nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, name=f"conv{i}")(x)
+            )
+            if i % 2 == 0:
+                x = y + old_x
+                old_x = x
+            else:
+                x = y
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                use_bias=False,
+                use_scale=False,
+                momentum=0.9,
+                axis_name=self.bn_axis_name if train else None,
+                name=f"bn{i}",
+            )(x)
+        x = x.mean(axis=(1, 2))  # global average over (time, freq)
+        return nn.Dense(self.num_labels, name="output")(x)
+
+
+@register_model("small-cnn")
+class SmallCnn(HowlModel):
+    """Two conv encoders + MLP head (ref cnn.py:40-66)."""
+
+    num_labels: int
+    num_maps1: int = 48
+    num_maps2: int = 64
+    num_hidden_input: int = 384
+    hidden_size: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
+        x = self._mels_only_nhwc(x)  # (B, T, F, 1)
+        # encoder1: conv (8,16) stride (2,2) pad (4,0) -> relu -> maxpool 2 -> BN
+        x = nn.Conv(
+            self.num_maps1, (8, 16), strides=(2, 2), padding=((4, 4), (0, 0)), name="conv0"
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        # encoder2: conv (5,5) stride (2,1) pad 2 -> relu -> maxpool 2 -> BN
+        x = nn.Conv(self.num_maps2, (5, 5), strides=(2, 1), padding=((2, 2), (2, 2)), name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.BatchNorm(use_running_average=not train, name="bn2")(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.hidden_size, name="fc1")(x))
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        return nn.Dense(self.num_labels, name="fc2")(x)
+
+
+@register_model("seq-cnn", is_sequential=True)
+class SequentialCnn(HowlModel):
+    """Per-frame conv encoder for the CTC objective (ref cnn.py:70-104)."""
+
+    num_labels: int
+    num_maps1: int = 48
+    num_maps2: int = 64
+    hidden_size: int = 128
+
+    def compute_length(self, length):
+        length = (length + 2 * 10 - 20) // 1 + 1
+        length = length // 2
+        length = (length + 2 * 2 - 4 - 1) // 2 + 1
+        length = length // 2
+        return length
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
+        x = self._mels_only_nhwc(x)  # (B, T, F, 1)
+        x = nn.Conv(
+            self.num_maps1, (20, 16), strides=(1, 2), padding=((10, 10), (0, 0)), name="conv0"
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.Conv(self.num_maps2, (5, 5), strides=(2, 1), padding=((2, 2), (2, 2)), name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.BatchNorm(use_running_average=not train, name="bn2")(x)
+        # (B, T', F', C) -> (T', B, F'*C) per-frame features
+        x = jnp.transpose(x, (1, 0, 2, 3))
+        x = x.reshape(x.shape[0], x.shape[1], -1)
+        x = nn.relu(nn.Dense(self.hidden_size, name="fc1")(x))
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        return nn.Dense(self.num_labels, name="fc2")(x)  # (T', B, L)

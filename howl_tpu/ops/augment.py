@@ -1,0 +1,166 @@
+"""On-device augmentation: everything the reference ran in CPU DataLoader
+workers (ref: howl/data/transform/transform.py:100-232, 299-339) expressed as
+pure jnp functions over fixed-shape batches, applied inside the jitted train
+step with explicit PRNG keys.
+
+Per-example application probability (0.75 default in the reference's
+AugmentModule.forward, transform.py:90-97) becomes a bernoulli mask + where.
+
+Timestretch is the one exception: resampling changes lengths, so it stays a
+host-side option (ref transform.py:146-166 rescales label timestamps; our
+window sampler reads timestamps before windows are cut, so on-device stretch
+would double-apply).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Reference-default magnitudes (transform.py parameter domains)."""
+
+    prob: float = 0.75
+    timeshift_max_s: float = 0.25  # TimeshiftTransform domain[0]
+    white_strength: float = 0.001  # NoiseTransform 'white' domain[3]
+    salt_pepper_prob: float = 1.0 / 10000  # 'salt_pepper' domain[2]
+    mixer_strength: float = 0.2  # DatasetMixer 'strength' domain[1]
+    sa_freq: int = 10  # SpecAugment 'sa_freq' domain[2]
+    sa_time: int = 75  # SpecAugment 'sa_time' domain[2]
+    sample_rate: int = 16000
+
+
+def _per_example_mask(key, batch: int, prob: float):
+    return jax.random.bernoulli(key, prob, (batch,))
+
+
+def timeshift(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """Random shift left/right by up to ``timeshift_max_s`` (zero-filled).
+
+    The reference crops up to half the clip from one side (transform.py:120-144);
+    with fixed shapes a shift + zero mask is the equivalent operation.
+    """
+    b, n = audio.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    max_shift = jnp.minimum(
+        (jax.random.uniform(k1, (b,)) * cfg.timeshift_max_s * cfg.sample_rate).astype(jnp.int32),
+        n // 2,
+    )
+    left = jax.random.bernoulli(k2, 0.5, (b,))
+    shift = jnp.where(left, -max_shift, max_shift)
+    idx = jnp.arange(n)[None, :] - shift[:, None]
+    valid = (idx >= 0) & (idx < n)
+    shifted = jnp.take_along_axis(audio, jnp.clip(idx, 0, n - 1), axis=1) * valid
+    apply = _per_example_mask(k3, b, cfg.prob)[:, None]
+    del k4
+    return jnp.where(apply, shifted, audio)
+
+
+def white_noise(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """Additive gaussian noise with per-example random strength (transform.py:179-187)."""
+    b, n = audio.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    strength = jax.random.uniform(k1, (b, 1)) * cfg.white_strength
+    noise = jax.random.normal(k2, (b, n)) * strength
+    apply = _per_example_mask(k3, b, cfg.prob)[:, None]
+    return jnp.where(apply, jnp.clip(audio + noise, -1.0, 1.0), audio)
+
+
+def salt_pepper_noise(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """Random ±1 impulses (transform.py:188-196)."""
+    b, n = audio.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    prob = jax.random.uniform(k1, (b, 1)) * cfg.salt_pepper_prob
+    salt = jax.random.bernoulli(k2, prob / 2.0, (b, n)).astype(audio.dtype)
+    pepper = jax.random.bernoulli(k3, prob / 2.0, (b, n)).astype(audio.dtype)
+    noise = jnp.clip(salt - pepper, -1.0, 1.0)
+    apply = _per_example_mask(k4, b, cfg.prob)[:, None]
+    return jnp.where(apply, jnp.clip(audio + noise, -1.0, 1.0), audio)
+
+
+def mix_noise_bank(
+    audio: jnp.ndarray,
+    key: jax.Array,
+    noise_bank: jnp.ndarray,
+    cfg: AugmentConfig,
+    replace_prob: float = 0.0,
+):
+    """Background-noise mixing from a device-resident bank (transform.py:199-232).
+
+    noise_bank: (N, window_samples) pre-cut noise windows in HBM. Each example
+    draws a random row + random circular offset; ``mixed = (1-a)*x + a*noise``
+    with a ~ U[0, mixer_strength]. With probability ``replace_prob`` the clip is
+    fully replaced (a=1) — callers must then clear its labels (the sampler
+    passes the replace mask back for that).
+
+    Returns (mixed_audio, replaced_mask).
+    """
+    b, n = audio.shape
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    rows = jax.random.randint(k1, (b,), 0, noise_bank.shape[0])
+    offs = jax.random.randint(k2, (b,), 0, noise_bank.shape[1])
+    picked = noise_bank[rows]  # (b, bank_window)
+    idx = (jnp.arange(n)[None, :] + offs[:, None]) % noise_bank.shape[1]
+    noise = jnp.take_along_axis(picked, idx, axis=1)
+    alpha = jax.random.uniform(k3, (b, 1)) * cfg.mixer_strength
+    replaced = jax.random.bernoulli(k4, replace_prob, (b,))
+    alpha = jnp.where(replaced[:, None], 1.0, alpha)
+    apply = _per_example_mask(k5, b, cfg.prob)
+    alpha = jnp.where(apply[:, None], alpha, 0.0)
+    mixed = audio * (1.0 - alpha) + noise * alpha
+    return mixed, replaced & apply
+
+
+def spec_augment(feats: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """Time + frequency masking on (B, C, F, T) features (transform.py:299-339)."""
+    b, _, f, t = feats.shape
+    kt1, kt2, kf1, kf2, kp1, kp2 = jax.random.split(key, 6)
+    # time mask
+    t_len = jax.random.randint(kt1, (b,), 0, max(cfg.sa_time, 1))
+    t_len = jnp.minimum(t_len, t - 1)
+    t_start = (jax.random.uniform(kt2, (b,)) * (t - t_len)).astype(jnp.int32)
+    t_idx = jnp.arange(t)[None, :]
+    t_mask = (t_idx >= t_start[:, None]) & (t_idx < (t_start + t_len)[:, None])
+    apply_t = jax.random.bernoulli(kp1, cfg.prob, (b,))
+    t_mask = t_mask & apply_t[:, None]
+    feats = feats * ~t_mask[:, None, None, :]
+    # frequency mask
+    f_len = jax.random.randint(kf1, (b,), 0, max(cfg.sa_freq, 1))
+    f_len = jnp.minimum(f_len, f - 1)
+    f_start = (jax.random.uniform(kf2, (b,)) * (f - f_len)).astype(jnp.int32)
+    f_idx = jnp.arange(f)[None, :]
+    f_mask = (f_idx >= f_start[:, None]) & (f_idx < (f_start + f_len)[:, None])
+    apply_f = jax.random.bernoulli(kp2, cfg.prob, (b,))
+    f_mask = f_mask & apply_f[:, None]
+    feats = feats * ~f_mask[:, None, :, None]
+    return feats
+
+
+def augment_audio(
+    audio: jnp.ndarray,
+    key: jax.Array,
+    cfg: AugmentConfig,
+    noise_bank: jnp.ndarray = None,
+    replace_prob: float = 0.0,
+):
+    """Full waveform augmentation chain (mixer? -> timeshift -> noise);
+    order matches the reference collate composition (train.py:202-227).
+
+    Returns (audio, replaced_mask) — replaced examples must flip to negative.
+    """
+    b = audio.shape[0]
+    k_mix, k_shift, k_white, k_sp, k_pick = jax.random.split(key, 5)
+    replaced = jnp.zeros((b,), bool)
+    if noise_bank is not None:
+        audio, replaced = mix_noise_bank(audio, k_mix, noise_bank, cfg, replace_prob)
+    audio = timeshift(audio, k_shift, cfg)
+    # reference NoiseTransform applies white OR salt-pepper sequentially, each
+    # with its own prob; same here
+    audio = white_noise(audio, k_white, cfg)
+    audio = salt_pepper_noise(audio, k_sp, cfg)
+    del k_pick
+    return audio, replaced

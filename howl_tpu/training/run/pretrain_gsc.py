@@ -1,0 +1,178 @@
+"""GSC keyword-classification pretraining (ref: training/run/pretrain_gsc.py:22-148).
+
+Flow parity: GSC loader -> ZMUV fit -> AdamW train loop with exponential LR
+decay -> dev/test accuracy -> workspace checkpoints. TPU-first differences: the
+whole train step (frontend + augmentation + model + loss) is one jitted
+program; batches are fixed-shape windows; optional mesh DP via --num-devices.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from howl_tpu.data.dataset.gsc_loader import GoogleSpeechCommandsDatasetLoader
+from howl_tpu.data.transform.batchifier import ClassificationBatchSampler
+from howl_tpu.models import MODEL_REGISTRY, create_model
+from howl_tpu.ops.augment import AugmentConfig
+from howl_tpu.ops.frontend import FrontendConfig
+from howl_tpu.ops.zmuv import ZmuvTransform
+from howl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from howl_tpu.settings import SETTINGS
+from howl_tpu.training.state import create_train_state, param_count
+from howl_tpu.training.step import (
+    StepConfig,
+    featurize,
+    make_classification_eval_step,
+    make_classification_train_step,
+)
+from howl_tpu.utils.args_utils import ArgumentParserBuilder, opt
+from howl_tpu.utils.logger import Logger
+from howl_tpu.utils.random_utils import set_random_seed
+from howl_tpu.workspace import Workspace
+
+
+def fit_zmuv(sampler, frontend_cfg: FrontendConfig, max_batches: int = 128) -> ZmuvTransform:
+    """Fit global mean/std over frontend features (ref pretrain_gsc.py:97-106)."""
+    from howl_tpu.ops.frontend import log_mel_spectrogram
+
+    zmuv = ZmuvTransform()
+    featurize_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
+    for idx, batch in enumerate(sampler):
+        zmuv.update(np.asarray(featurize_fn(batch.audio_data)))
+        if idx + 1 >= max_batches:
+            break
+    Logger.info(f"zmuv: mean={zmuv.mean:.4f} std={zmuv.std:.4f}")
+    return zmuv
+
+
+def evaluate_accuracy(eval_step, state, sampler, prefix: str) -> float:
+    num_corr = 0
+    num_tot = 0
+    for batch in sampler:
+        logits = np.asarray(eval_step(state, batch.audio_data, batch.lengths))
+        valid = getattr(batch, "valid", len(batch.labels))
+        preds = logits.argmax(-1)[:valid]
+        num_corr += int((preds == batch.labels[:valid]).sum())
+        num_tot += valid
+    acc = num_corr / max(num_tot, 1)
+    Logger.info(f"{prefix} accuracy: {acc:.4f} ({num_corr}/{num_tot})")
+    return acc
+
+
+def run(args=None) -> dict:
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    apb = ArgumentParserBuilder()
+    apb.add_options(
+        opt("--model", type=str, choices=sorted(MODEL_REGISTRY), default="las"),
+        opt("--workspace", type=str, default=str(Path("workspaces") / "default")),
+        opt("--load-weights", action="store_true"),
+        opt("--eval", action="store_true"),
+        opt("--num-labels", type=int, default=30),
+        opt("--num-devices", type=int, default=0, help="mesh data-axis size (0 = all devices)"),
+        opt("--use-augment", action="store_true", default=True),
+        opt("--no-augment", dest="use_augment", action="store_false"),
+    )
+    args = apb.parser.parse_args(args)
+
+    workspace = Workspace(Path(args.workspace), delete_existing=not args.eval)
+    set_random_seed(SETTINGS.training.seed)
+    sample_rate = SETTINGS.audio.sample_rate
+    window_samples = int(SETTINGS.training.max_window_size_seconds * sample_rate)
+
+    loader = GoogleSpeechCommandsDatasetLoader(SETTINGS.training.vocab)
+    train_ds, dev_ds, test_ds = loader.load_splits(Path(SETTINGS.dataset.dataset_path))
+    Logger.info(f"splits: train={len(train_ds)} dev={len(dev_ds)} test={len(test_ds)}")
+
+    batch_size = SETTINGS.training.batch_size
+    mesh = make_mesh(data=args.num_devices or None)
+    Logger.info(f"mesh: {mesh}")
+
+    def make_sampler(ds, shuffle, drop_last, seed=0):
+        return ClassificationBatchSampler(
+            ds, batch_size, window_samples, shuffle=shuffle, drop_last=drop_last, seed=seed
+        )
+
+    frontend_cfg = FrontendConfig.from_settings()
+    zmuv = workspace.load_zmuv()
+    if zmuv is None:
+        zmuv = fit_zmuv(make_sampler(train_ds, True, True), frontend_cfg)
+        workspace.save_zmuv(zmuv)
+
+    augment_cfg = AugmentConfig(sample_rate=sample_rate) if args.use_augment else None
+    step_cfg = StepConfig(
+        frontend=frontend_cfg,
+        zmuv_mean=zmuv.mean,
+        zmuv_std=zmuv.std,
+        augment=augment_cfg,
+        use_vtlp=args.use_augment,
+    )
+
+    model = create_model(args.model, num_labels=args.num_labels)
+    example_feats = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(SETTINGS.training.seed),
+        example_feats,
+        learning_rate=SETTINGS.training.learning_rate,
+        weight_decay=SETTINGS.training.weight_decay,
+        lr_decay=SETTINGS.training.lr_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    Logger.info(f"{param_count(state)} parameters")
+    state = replicate(state, mesh)
+
+    train_step = make_classification_train_step(model, step_cfg)
+    eval_step = make_classification_eval_step(model, step_cfg)
+
+    if args.load_weights or args.eval:
+        variables = workspace.load_model({"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"], batch_stats=variables["batch_stats"])
+    if args.eval:
+        dev_acc = evaluate_accuracy(eval_step, state, make_sampler(dev_ds, False, False), "Dev")
+        test_acc = evaluate_accuracy(eval_step, state, make_sampler(test_ds, False, False), "Test")
+        return {"dev_acc": dev_acc, "test_acc": test_acc}
+
+    workspace.write_args(args)
+    workspace.save_settings(SETTINGS)
+    key = jax.random.PRNGKey(SETTINGS.training.seed + 1)
+
+    dev_acc = 0.0
+    for epoch_idx in range(SETTINGS.training.num_epochs):
+        sampler = make_sampler(train_ds, True, True, seed=epoch_idx)
+        losses = []
+        for batch in sampler:
+            audio, labels, lengths = shard_batch(
+                (batch.audio_data, batch.labels, batch.lengths), mesh
+            )
+            state, metrics = train_step(state, audio, labels, lengths, key)
+            losses.append(float(metrics["loss"]))
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        workspace.log_scalar("Training/Loss", mean_loss, epoch_idx)
+        Logger.info(f"epoch {epoch_idx}: loss={mean_loss:.4f}")
+        dev_acc = evaluate_accuracy(eval_step, state, make_sampler(dev_ds, False, False), "Dev")
+        workspace.log_scalar("Dev/Metric/acc", dev_acc, epoch_idx)
+        workspace.increment_model(
+            {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)},
+            dev_acc / 10,
+        )
+        workspace.save_train_state(state)
+
+    test_acc = evaluate_accuracy(eval_step, state, make_sampler(test_ds, False, False), "Test")
+    workspace.log_scalar("Test/Metric/acc", test_acc, SETTINGS.training.num_epochs)
+    Logger.info(f"model: {args.model} dev_acc: {dev_acc:.4f} test_acc: {test_acc:.4f}")
+    return {"dev_acc": dev_acc, "test_acc": test_acc}
+
+
+def main():
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

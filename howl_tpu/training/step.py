@@ -1,0 +1,138 @@
+"""Jitted train/eval steps: frontend + augmentation + model + loss in ONE
+compiled program per geometry.
+
+The reference splits this across DataLoader workers (augmentation, CPU),
+per-batch H2D copies, and separate CUDA kernels (ref: training/run/train.py:281-302).
+Here the host only ships raw PCM windows; everything else — VTLP mel, ZMUV,
+waveform noise/shift, SpecAugment, the model, the loss, AdamW — fuses under one
+jit. Under a sharded mesh the same program is the DP program: batch arrays
+arrive split on the ``data`` axis and GSPMD inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from howl_tpu.ops import augment as aug
+from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram, log_mel_spectrogram_vtlp, stack_deltas
+from howl_tpu.training.objectives import ctc_loss, frame_ce_loss
+
+
+class StepConfig(NamedTuple):
+    frontend: FrontendConfig
+    zmuv_mean: float
+    zmuv_std: float
+    augment: Optional[aug.AugmentConfig] = None
+    use_vtlp: bool = True
+    vtlp_prob: float = 0.75
+    replace_prob: float = 0.0
+    negative_label: int = 0
+    blank_label: int = -1
+
+
+def featurize(audio: jnp.ndarray, cfg: StepConfig, key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """(B, samples) -> ZMUV-normalized (B, 3, F, T) features.
+
+    With a key, applies VTLP (random warp alpha ~ U[0.9, 1.1), applied with
+    ``vtlp_prob`` as in ref transform.py:256-263) — traced, so the random
+    filterbank stays on device.
+    """
+    if key is not None and cfg.use_vtlp:
+        k_alpha, k_prob = jax.random.split(key)
+        alpha = jax.random.uniform(k_alpha, (), minval=0.9, maxval=1.1)
+        alpha = jnp.where(jax.random.bernoulli(k_prob, cfg.vtlp_prob), alpha, 1.0)
+        feats = log_mel_spectrogram_vtlp(audio, alpha, cfg.frontend)
+        feats = stack_deltas(feats)
+    else:
+        feats = log_mel_spectrogram(audio, cfg.frontend, stacked=True)
+    return (feats - cfg.zmuv_mean) / cfg.zmuv_std
+
+
+def make_classification_train_step(model, cfg: StepConfig, noise_bank=None) -> Callable:
+    """Returns jitted (state, audio, labels, lengths, key) -> (state, metrics)."""
+
+    @jax.jit
+    def train_step(state, audio, labels, lengths, key):
+        k_wave, k_vtlp, k_spec, k_drop = jax.random.split(jax.random.fold_in(key, state.step), 4)
+        if cfg.augment is not None:
+            audio, replaced = aug.augment_audio(audio, k_wave, cfg.augment, noise_bank, cfg.replace_prob)
+            labels = jnp.where(replaced, cfg.negative_label, labels)
+        feats = featurize(audio, cfg, k_vtlp if cfg.use_vtlp else None)
+        if cfg.augment is not None:
+            feats = aug.spec_augment(feats, k_spec, cfg.augment)
+        model_lengths = cfg.frontend.compute_lengths(lengths) if lengths is not None else None
+
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                lengths=model_lengths,
+                train=True,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            loss = frame_ce_loss(out, labels)
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        acc = (logits.argmax(-1) == labels).mean()
+        return state, {"loss": loss, "accuracy": acc}
+
+    return train_step
+
+
+def make_classification_eval_step(model, cfg: StepConfig) -> Callable:
+    """Returns jitted (state, audio, lengths) -> logits (B, L)."""
+
+    @jax.jit
+    def eval_step(state, audio, lengths):
+        feats = featurize(audio, cfg)
+        model_lengths = cfg.frontend.compute_lengths(lengths) if lengths is not None else None
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats,
+            lengths=model_lengths,
+            train=False,
+        )
+
+    return eval_step
+
+
+def make_ctc_train_step(model, cfg: StepConfig, noise_bank=None) -> Callable:
+    """CTC objective over sequential models (ref train.py:250-253, 293-299)."""
+
+    @jax.jit
+    def train_step(state, audio, labels, audio_lengths, label_lengths, key):
+        k_wave, k_vtlp, k_spec, k_drop = jax.random.split(jax.random.fold_in(key, state.step), 4)
+        if cfg.augment is not None:
+            audio, _ = aug.augment_audio(audio, k_wave, cfg.augment, noise_bank, 0.0)
+        feats = featurize(audio, cfg, k_vtlp if cfg.use_vtlp else None)
+        if cfg.augment is not None:
+            feats = aug.spec_augment(feats, k_spec, cfg.augment)
+        frame_lengths = cfg.frontend.compute_lengths(audio_lengths)
+
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                lengths=frame_lengths,
+                train=True,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            # model may downsample time; map frame lengths through it
+            out_lengths = model.compute_length(frame_lengths)
+            out_lengths = jnp.minimum(out_lengths, out.shape[0])
+            loss = ctc_loss(out, out_lengths, labels, label_lengths, cfg.blank_label)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, {"loss": loss}
+
+    return train_step
