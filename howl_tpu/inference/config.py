@@ -1,0 +1,59 @@
+"""Engine configuration (ref: howl/settings.py:38-47 InferenceEngineSettings +
+the window/stride pair passed to FrameInferenceEngine, inference.py:214-221)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    inference_sequence: Tuple[int, ...] = (0,)
+    inference_window_ms: float = 2000.0
+    smoothing_window_ms: float = 50.0
+    tolerance_window_ms: float = 500.0
+    inference_threshold: float = 0.0
+    inference_weights: Optional[Tuple[float, ...]] = None
+    max_window_size_ms: float = 500.0
+    eval_stride_size_ms: float = 62.5
+    sample_rate: int = 16000
+    negative_label: int = 1
+    blank_label: int = -1
+    num_labels: int = 2
+
+    @classmethod
+    def from_settings(cls, context=None, **overrides) -> "EngineConfig":
+        from howl_tpu.settings import SETTINGS
+
+        eng = SETTINGS.inference_engine
+        tr = SETTINGS.training
+        kwargs = dict(
+            inference_sequence=tuple(eng.inference_sequence),
+            inference_window_ms=eng.inference_window_ms,
+            smoothing_window_ms=eng.smoothing_window_ms,
+            tolerance_window_ms=eng.tolerance_window_ms,
+            inference_threshold=eng.inference_threshold,
+            inference_weights=tuple(eng.inference_weights) if eng.inference_weights else None,
+            max_window_size_ms=tr.max_window_size_seconds * 1000,
+            eval_stride_size_ms=tr.eval_stride_size_seconds * 1000,
+            sample_rate=SETTINGS.audio.sample_rate,
+        )
+        if context is not None:
+            kwargs.update(
+                negative_label=context.negative_label,
+                blank_label=context.blank_label,
+                num_labels=context.num_labels,
+            )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def padded_weights(self):
+        """inference_weights padded with ones to num_labels (ref inference.py:41-45)."""
+        import numpy as np
+
+        if not self.inference_weights:
+            return None
+        w = np.ones(self.num_labels, np.float32)
+        w[: len(self.inference_weights)] = self.inference_weights
+        return w

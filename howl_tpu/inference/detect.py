@@ -1,0 +1,216 @@
+"""Vectorized posterior smoothing + FSM sequence matching.
+
+Re-expresses the reference's per-stream scalar logic
+(ref: howl/model/inference.py:91-161 — `_get_prediction` max-pools posteriors
+over the trailing smoothing window then thresholds; `sequence_present` re-scans
+the label history inside the inference window with a 3-branch FSM) as a single
+`lax.scan` over time steps carrying fixed-size ring buffers, fully vectorized
+over B concurrent streams:
+
+  * pred ring (B, S, L): last S posterior frames; smoothing = masked max.
+  * label ring (B, W): last W emitted labels + timestamps; each step the FSM
+    re-scans the ring exactly like the reference re-scans label_history (W is
+    small: inference_window / stride ≈ 32).
+
+Ring sizes are static (stride is constant), so time windows in ms map to fixed
+step counts and everything jits once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from howl_tpu.inference.config import EngineConfig
+
+
+class DetectState(NamedTuple):
+    pred_ring: jnp.ndarray  # (B, S, L) posterior history (most recent last)
+    pred_times: jnp.ndarray  # (B, S) timestamps; -inf = empty slot
+    label_ring: jnp.ndarray  # (B, W) label history (most recent last)
+    label_times: jnp.ndarray  # (B, W) timestamps; -inf = empty slot
+    fired: jnp.ndarray  # (B,) sticky detection flag
+
+
+def init_state(batch: int, num_labels: int, s_steps: int, w_steps: int) -> DetectState:
+    neg_inf = jnp.float32(-1e30)
+    return DetectState(
+        pred_ring=jnp.zeros((batch, s_steps, num_labels), jnp.float32),
+        pred_times=jnp.full((batch, s_steps), neg_inf),
+        label_ring=jnp.full((batch, w_steps), -1, jnp.int32),
+        label_times=jnp.full((batch, w_steps), neg_inf),
+        fired=jnp.zeros((batch,), bool),
+    )
+
+
+def fsm_scan(
+    label_ring: jnp.ndarray,
+    label_times: jnp.ndarray,
+    check_time: jnp.ndarray,
+    sequence: Tuple[int, ...],
+    tolerance_ms: float,
+    inference_window_ms: float,
+) -> jnp.ndarray:
+    """Run the sequence FSM over the (chronological) label ring.
+
+    Per stream: walk entries newer than ``check_time - inference_window_ms``;
+    advance on the next expected label, tolerate repeats of the last matched
+    label, reset after ``tolerance_ms`` of other labels. Returns fired (B,).
+    (Semantics of ref inference.py:109-137.)
+    """
+    seq = jnp.asarray(sequence, jnp.int32)
+    k = len(sequence)
+    batch, w = label_ring.shape
+    check_time = jnp.broadcast_to(jnp.asarray(check_time, jnp.float32), (batch,))
+
+    def body(j, carry):
+        target, curr_label, last_valid, fired = carry
+        lab = label_ring[:, j]
+        t = label_times[:, j]
+        valid = (t > -1e29) & (check_time - t <= inference_window_ms)
+        target_label = seq[jnp.clip(target, 0, k - 1)]
+        advance = valid & ~fired & (lab == target_label)
+        same = valid & ~fired & ~advance & (lab == curr_label)
+        expire = valid & ~fired & ~advance & ~same & (last_valid + tolerance_ms < t)
+        new_target = jnp.where(advance, target + 1, jnp.where(expire, 0, target))
+        fired = fired | (new_target >= k)
+        curr_label = jnp.where(advance, target_label, jnp.where(expire, -1, curr_label))
+        last_valid = jnp.where(advance | same, t, jnp.where(expire, 0.0, last_valid))
+        return new_target, curr_label, last_valid, fired
+
+    init = (
+        jnp.zeros((batch,), jnp.int32),
+        jnp.full((batch,), -1, jnp.int32),
+        jnp.zeros((batch,), jnp.float32),
+        jnp.zeros((batch,), bool),
+    )
+    if k == 0:
+        return init[3]
+    _, _, _, fired = jax.lax.fori_loop(0, w, body, init)
+    return fired
+
+
+def detect_step(
+    state: DetectState,
+    probs: jnp.ndarray,
+    t_now: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: EngineConfig,
+    check_offset_ms: float,
+) -> Tuple[DetectState, jnp.ndarray, jnp.ndarray]:
+    """Ingest one posterior frame per stream; returns (state, label, fired_now).
+
+    ``valid`` (B,) masks streams that actually produced a frame this step
+    (padding windows / CTC blank frames are skipped exactly like the
+    reference's ``continue``, inference.py:205-207).
+    """
+    batch = probs.shape[0]
+    t_now = jnp.broadcast_to(jnp.asarray(t_now, jnp.float32), (batch,))
+
+    if cfg.blank_label >= 0:
+        valid = valid & (probs.argmax(-1) != cfg.blank_label)
+
+    # --- push posterior frame into the smoothing ring (only where valid)
+    pred_ring = jnp.roll(state.pred_ring, -1, axis=1).at[:, -1].set(probs)
+    pred_times = jnp.roll(state.pred_times, -1, axis=1).at[:, -1].set(t_now)
+    pred_ring = jnp.where(valid[:, None, None], pred_ring, state.pred_ring)
+    pred_times = jnp.where(valid[:, None], pred_times, state.pred_times)
+
+    # --- smoothing: max over frames within the smoothing window (ref :139-161)
+    in_window = (t_now[:, None] - pred_times <= cfg.smoothing_window_ms) & (pred_times > -1e29)
+    lattice = jnp.where(in_window[:, :, None], pred_ring, -jnp.inf)
+    lattice_max = lattice.max(axis=1)  # (B, L)
+    max_label = lattice_max.argmax(-1).astype(jnp.int32)
+    max_prob = lattice_max.max(-1)
+    label = jnp.where(max_prob < cfg.inference_threshold, cfg.negative_label, max_label)
+
+    # --- push label into the FSM ring (only where valid)
+    label_ring = jnp.roll(state.label_ring, -1, axis=1).at[:, -1].set(label)
+    label_times = jnp.roll(state.label_times, -1, axis=1).at[:, -1].set(t_now)
+    label_ring = jnp.where(valid[:, None], label_ring, state.label_ring)
+    label_times = jnp.where(valid[:, None], label_times, state.label_times)
+
+    fired_now = fsm_scan(
+        label_ring,
+        label_times,
+        t_now + check_offset_ms,
+        cfg.inference_sequence,
+        cfg.tolerance_window_ms,
+        cfg.inference_window_ms,
+    )
+    fired_now = fired_now & valid
+    fired = state.fired | fired_now
+    new_state = DetectState(pred_ring, pred_times, label_ring, label_times, fired)
+    return new_state, jnp.where(valid, label, -1), fired_now
+
+
+def smooth_and_detect(
+    probs_seq: jnp.ndarray,
+    times,
+    valid_seq: jnp.ndarray,
+    cfg: EngineConfig,
+    check_offset_is_stride: bool = True,
+) -> dict:
+    """Scan posterior frames (B, T, L) through smoothing + FSM.
+
+    times: (T,) frame timestamps in ms (host values — ring sizes derive from
+    the stride, which must be static). valid_seq: (B, T) frame validity.
+    check_offset_is_stride mirrors FrameInferenceEngine (the FSM is consulted at
+    t + stride, inference.py:235-243) vs InferenceEngine (at t, :201-208).
+
+    Returns dict with per-step labels (B, T), fired mask (B, T), detected (B,),
+    first fire step (B,) (= T when never fired).
+    """
+    times = np.asarray(times, np.float32)
+    stride = float(times[1] - times[0]) if times.shape[0] > 1 else cfg.eval_stride_size_ms
+    s_steps = max(int(cfg.smoothing_window_ms // max(stride, 1e-6)) + 1, 1)
+    w_steps = max(int(cfg.inference_window_ms // max(stride, 1e-6)) + 1, 1)
+    check_offset = stride if check_offset_is_stride else 0.0
+    return _smooth_and_detect_jit(probs_seq, jnp.asarray(times), valid_seq, cfg, s_steps, w_steps, check_offset)
+
+
+@partial(jax.jit, static_argnames=("cfg", "s_steps", "w_steps", "check_offset"))
+def _smooth_and_detect_jit(
+    probs_seq: jnp.ndarray,
+    times: jnp.ndarray,
+    valid_seq: jnp.ndarray,
+    cfg: EngineConfig,
+    s_steps: int,
+    w_steps: int,
+    check_offset: float,
+) -> dict:
+    batch, t_total, num_labels = probs_seq.shape
+    state = init_state(batch, num_labels, s_steps, w_steps)
+
+    def step(state, inp):
+        probs, t_now, valid = inp
+        state, label, fired_now = detect_step(state, probs, t_now, valid, cfg, check_offset)
+        return state, (label, fired_now)
+
+    final, (labels, fired_steps) = jax.lax.scan(
+        step, state, (probs_seq.swapaxes(0, 1), times, valid_seq.swapaxes(0, 1))
+    )
+    labels = labels.swapaxes(0, 1)
+    fired_steps = fired_steps.swapaxes(0, 1)
+    first_fire = jnp.where(
+        final.fired, jnp.argmax(fired_steps, axis=1), jnp.full((batch,), t_total)
+    )
+    return {
+        "labels": labels,
+        "fired": fired_steps,
+        "detected": final.fired,
+        "first_fire_step": first_fire,
+    }
+
+
+def apply_inference_weights(probs: jnp.ndarray, cfg: EngineConfig) -> jnp.ndarray:
+    """probs * weights, renormalized (ref inference.py:199-201)."""
+    w = cfg.padded_weights()
+    if w is None:
+        return probs
+    weighted = probs * jnp.asarray(w)
+    return weighted / weighted.sum(-1, keepdims=True)

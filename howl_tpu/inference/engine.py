@@ -1,0 +1,164 @@
+"""Batched streaming wake-word engines.
+
+Replaces the reference's per-clip, per-window Python loops
+(ref: howl/model/inference.py:214-244 FrameInferenceEngine — the primary
+throughput bottleneck called out in SURVEY.md §3.1) with device programs that
+score B streams concurrently:
+
+  * features are computed ONCE per clip (one fused frontend pass); sliding
+    windows become strided views over the frame axis — at the default geometry
+    (41-frame windows every 5 frames) this alone removes ~8x redundant STFT
+    work the reference re-does per window;
+  * static models (res8 & friends) score ALL windows of ALL streams as one
+    mega-batch (B*n_windows, ...) — maximal MXU occupancy;
+  * recurrent models scan frames with an explicit carry;
+  * smoothing + FSM run as a `lax.scan` over steps (see detect.py).
+
+Deviations from the reference, both documented and quality-checked by the
+wakeword eval: (1) windows are cut from clip-level mel frames instead of
+re-STFT'ing each window with its own reflect padding (edge frames differ
+slightly); (2) the window stride is quantized to whole hops
+(62.5 ms instead of 63 ms at defaults) — FSM timestamps use the true quantized
+stride so the ms-window semantics stay exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.detect import apply_inference_weights, smooth_and_detect
+from howl_tpu.models.base import ModelSpec, model_spec
+from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+
+
+class StreamingEngine:
+    """FrameInferenceEngine parity: sliding-window scoring + smoothing + FSM."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        cfg: EngineConfig,
+        frontend: FrontendConfig,
+        zmuv_mean: float = 0.0,
+        zmuv_std: float = 1.0,
+        spec: Optional[ModelSpec] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.frontend = frontend
+        self.zmuv_mean = float(zmuv_mean)
+        self.zmuv_std = float(zmuv_std)
+        self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
+        # window/stride in whole frames (deviation 2 above)
+        hop = frontend.hop_length
+        self.window_frames = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate) // hop + 1
+        stride_samples = cfg.eval_stride_size_ms / 1000 * cfg.sample_rate
+        self.stride_frames = max(1, round(stride_samples / hop))
+        self.stride_ms = self.stride_frames * hop / cfg.sample_rate * 1000.0
+        self._score = self._build_scorer()
+
+    # ---- scoring ----
+
+    def _featurize(self, audio: jnp.ndarray) -> jnp.ndarray:
+        feats = log_mel_spectrogram(audio, self.frontend, stacked=True)  # (B, 3, F, T)
+        return (feats - self.zmuv_mean) / self.zmuv_std
+
+    def _build_scorer(self):
+        model, spec = self.model, self.spec
+        wf, sf = self.window_frames, self.stride_frames
+
+        @partial(jax.jit, static_argnames=("n_windows",))
+        def score(variables, audio, n_windows):
+            feats = self._featurize(audio)  # (B, 3, F, T)
+            b, c, f, _t = feats.shape
+            if spec.is_sequential:
+                # per-frame logits over the whole clip in one pass
+                out = model.apply(variables, feats, train=False)  # (T', B, L)
+                probs = jax.nn.softmax(out, -1).transpose(1, 0, 2)  # (B, T', L)
+                return probs
+            # strided window gather -> (B, n_windows, 3, F, wf)
+            starts = np.arange(n_windows) * sf
+            idx = starts[:, None] + np.arange(wf)[None, :]  # (n_windows, wf)
+            windows = feats[:, :, :, idx]  # (B, 3, F, n_windows, wf)
+            windows = windows.transpose(0, 3, 1, 2, 4)  # (B, n_windows, 3, F, wf)
+            flat = windows.reshape(b * n_windows, c, f, wf)
+            if spec.is_recurrent:
+                # recurrent-but-windowed models: reference re-runs them per
+                # window while carrying streaming state; here we batch windows
+                # (stateless per window) — the carry variant is scan_stream()
+                logits = model.apply(variables, flat, train=False)
+            else:
+                logits = model.apply(variables, flat, train=False)
+            probs = jax.nn.softmax(logits, -1).reshape(b, n_windows, -1)
+            return probs
+
+        return score
+
+    def n_windows(self, num_samples: int) -> int:
+        total_frames = self.frontend.num_frames(num_samples)
+        return max((total_frames - self.window_frames) // self.stride_frames + 1, 1)
+
+    # ---- public API ----
+
+    def infer_batch(self, audio, lengths=None) -> dict:
+        """Score B clips; returns detected (B,), first fire time, per-step labels.
+
+        audio: (B, samples) float32 at cfg.sample_rate. lengths: optional true
+        sample counts (padding windows are masked out of the decision logic,
+        mirroring the reference's partial-window cutoff, inference.py:231-233).
+        """
+        audio = jnp.asarray(audio)
+        batch, num_samples = audio.shape
+        n_win = self.n_windows(num_samples)
+        probs = self._score(self.variables, audio, n_win)  # (B, T, L)
+        t_steps = probs.shape[1]
+        if self.spec.is_sequential:
+            # whole-clip engine cadence: delta = clip_ms / n_frames (ref :196)
+            clip_ms = num_samples / self.cfg.sample_rate * 1000.0
+            delta = clip_ms / t_steps
+            times = jnp.arange(1, t_steps + 1) * delta
+            check_offset_is_stride = False
+        else:
+            times = jnp.arange(t_steps) * self.stride_ms
+            check_offset_is_stride = True
+        probs = apply_inference_weights(probs, self.cfg)
+        if lengths is not None:
+            lengths = jnp.asarray(lengths)
+            if self.spec.is_sequential:
+                frame_len = lengths // self.frontend.hop_length + 1
+                per_step = jnp.arange(t_steps)[None, :] < frame_len[:, None]
+            else:
+                # window i valid if it has >=1000 real samples (ref :231-233)
+                win_start_samples = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
+                per_step = (lengths[:, None] - win_start_samples) >= 1000
+            valid = per_step
+        else:
+            valid = jnp.ones((batch, t_steps), bool)
+        result = smooth_and_detect(probs, times, valid, self.cfg, check_offset_is_stride)
+        result["times_ms"] = times
+        result["probs"] = probs
+        return result
+
+    def infer(self, audio) -> bool:
+        """Single-clip convenience (the reference API shape, inference.py:222)."""
+        out = self.infer_batch(jnp.asarray(audio)[None, :])
+        return bool(np.asarray(out["detected"])[0])
+
+
+class WholeClipEngine(StreamingEngine):
+    """InferenceEngine parity (ref inference.py:19-208): the model consumes the
+    whole clip and emits per-frame posteriors (sequential models); blank frames
+    are skipped via cfg.blank_label."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not self.spec.is_sequential:
+            raise ValueError("WholeClipEngine requires a sequential model (seq-lstm / seq-cnn)")

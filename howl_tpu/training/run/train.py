@@ -1,0 +1,378 @@
+"""Wake-word training / evaluation driver (ref: training/run/train.py:35-328).
+
+Capability parity with the reference flow — aligned-dataset loading, pos/neg
+splits via the transcript searcher, ZMUV fit, frame-CE or CTC objective,
+noise-dataset mixing, periodic dev evaluation gating the best checkpoint, final
+clean/noisy dev/test sweeps with errors.tsv and per-threshold results csv —
+with the numeric path redesigned for TPU:
+
+  * the train step (frontend+augmentations+model+loss+AdamW) is ONE jitted
+    program; host code only samples fixed-shape windows;
+  * evaluation scores ENTIRE datasets as batched device programs via
+    StreamingEngine.infer_batch instead of the reference's per-clip Python
+    loop over per-window forward passes (SURVEY.md §3.1 bottleneck);
+  * noisy eval mixes noise on device with a fixed key (deterministic, like the
+    reference's seeded DatasetMixer).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from howl_tpu.context import InferenceContext
+from howl_tpu.data.common.tokenizer import WakeWordTokenizer
+from howl_tpu.data.dataset.dataset import DatasetSplit, DatasetType, WakeWordDataset
+from howl_tpu.data.dataset.dataset_loader import RecursiveNoiseDatasetLoader, WakeWordDatasetLoader
+from howl_tpu.data.transform.batchifier import AudioSequenceBatchifier, WakeWordFrameBatchifier
+from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.engine import StreamingEngine
+from howl_tpu.models import MODEL_REGISTRY, ConfusionMatrix, create_model
+from howl_tpu.models.base import model_spec
+from howl_tpu.ops.augment import AugmentConfig
+from howl_tpu.ops.frontend import FrontendConfig
+from howl_tpu.ops.zmuv import ZmuvTransform
+from howl_tpu.settings import SETTINGS
+from howl_tpu.training.state import create_train_state, param_count
+from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step, make_ctc_train_step
+from howl_tpu.utils import hash_utils
+from howl_tpu.utils.args_utils import ArgumentParserBuilder, opt
+from howl_tpu.utils.logger import Logger
+from howl_tpu.utils.random_utils import set_random_seed
+from howl_tpu.workspace import Workspace
+
+
+def build_noise_bank(noise_ds, window_samples: int, max_windows: int = 512) -> Optional[np.ndarray]:
+    """Cut noise clips into a device-resident (N, window) bank for on-device
+    mixing (replaces the reference's per-example random noise reads)."""
+    windows = []
+    for metadata in noise_ds.metadata_list:
+        audio = noise_ds.load_audio(metadata)
+        for start in range(0, max(len(audio) - window_samples, 0) + 1, window_samples):
+            chunk = audio[start : start + window_samples]
+            if len(chunk) == window_samples:
+                windows.append(chunk)
+            if len(windows) >= max_windows:
+                break
+        if len(windows) >= max_windows:
+            break
+    if not windows:
+        return None
+    return np.stack(windows).astype(np.float32)
+
+
+def mix_for_eval(audio: np.ndarray, noise_bank: np.ndarray, seed: int = 0, strength: float = 0.2, prob: float = 0.75):
+    """Deterministic noisy-eval mixing (ref train.py:219-220 seeded DatasetMixer)."""
+    rng = np.random.default_rng(seed)
+    b, n = audio.shape
+    out = audio.copy()
+    for i in range(b):
+        if rng.random() > prob:
+            continue
+        row = rng.integers(0, noise_bank.shape[0])
+        noise = noise_bank[row]
+        reps = -(-n // len(noise))
+        tiled = np.tile(noise, reps)[:n]
+        alpha = rng.random() * strength
+        out[i] = audio[i] * (1 - alpha) + tiled * alpha
+    return out
+
+
+class BatchedEvaluator:
+    """Scores whole eval splits through StreamingEngine with length bucketing."""
+
+    def __init__(self, engine: StreamingEngine, bucket_seconds: float = 1.0, max_batch: int = 256):
+        self.engine = engine
+        self.bucket_samples = int(bucket_seconds * engine.cfg.sample_rate)
+        self.max_batch = max_batch
+
+    def evaluate(self, dataset, positive_set: bool, mixer_bank: Optional[np.ndarray] = None, mixer_seed: int = 0):
+        """Returns (ConfusionMatrix, errors list, total_audio_ms)."""
+        conf = ConfusionMatrix()
+        errors = []
+        total_ms = 0.0
+        # group clips into padded length buckets
+        buckets = {}
+        for idx in range(len(dataset)):
+            sample = dataset[idx]
+            n = max(len(sample.audio_data), 1)
+            bucket = -(-n // self.bucket_samples) * self.bucket_samples
+            buckets.setdefault(bucket, []).append((idx, sample))
+            total_ms += n / self.engine.cfg.sample_rate * 1000.0
+        for bucket, items in sorted(buckets.items()):
+            for start in range(0, len(items), self.max_batch):
+                chunk = items[start : start + self.max_batch]
+                audio = np.zeros((len(chunk), bucket), np.float32)
+                lengths = np.zeros(len(chunk), np.int64)
+                for row, (_, sample) in enumerate(chunk):
+                    n = min(len(sample.audio_data), bucket)
+                    audio[row, :n] = sample.audio_data[:n]
+                    lengths[row] = n
+                if mixer_bank is not None:
+                    audio = mix_for_eval(audio, mixer_bank, seed=mixer_seed)
+                result = self.engine.infer_batch(audio, lengths)
+                detected = np.asarray(result["detected"])
+                conf.increment_array(detected, np.full(len(chunk), positive_set))
+                for row, (_, sample) in enumerate(chunk):
+                    if bool(detected[row]) != positive_set:
+                        errors.append(
+                            (sample.metadata.transcription, int(detected[row]), int(positive_set), str(sample.metadata.path))
+                        )
+        return conf, errors, total_ms
+
+
+def run(args=None) -> dict:
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    apb = ArgumentParserBuilder()
+    apb.add_options(
+        opt("--model", type=str, choices=sorted(MODEL_REGISTRY), default="las"),
+        opt("--workspace", type=str, default=str(Path("workspaces") / "default")),
+        opt("--load-weights", action="store_true"),
+        opt("--load-last", action="store_true"),
+        opt("--dataset-paths", "-i", type=str, nargs="+", default=[SETTINGS.dataset.dataset_path]),
+        opt("--eval-freq", type=int, default=10),
+        opt("--eval", action="store_true"),
+        opt("--use-stitched-datasets", action="store_true"),
+        opt("--steps-per-epoch", type=int, default=0, help="0 = one pass over the train set"),
+        opt("--use-augment", action="store_true", default=True),
+        opt("--no-augment", dest="use_augment", action="store_false"),
+    )
+    args = apb.parser.parse_args(args)
+
+    set_random_seed(SETTINGS.training.seed)
+    use_frame = SETTINGS.training.objective == "frame"
+    workspace = Workspace(Path(args.workspace), delete_existing=not args.eval)
+
+    Logger.heading("Loading datasets")
+    ctx = InferenceContext(
+        vocab=SETTINGS.training.vocab, token_type=SETTINGS.training.token_type, use_blank=not use_frame
+    )
+    loader = WakeWordDatasetLoader()
+    ds_kwargs = dict(sample_rate=SETTINGS.audio.sample_rate, mono=SETTINGS.audio.use_mono, frame_labeler=ctx.labeler)
+
+    ww_train = WakeWordDataset([], DatasetType.TRAINING, dataset_split=DatasetSplit.TRAINING, **ds_kwargs)
+    ww_dev = WakeWordDataset([], DatasetType.DEV, dataset_split=DatasetSplit.DEV, **ds_kwargs)
+    ww_test = WakeWordDataset([], DatasetType.TEST, dataset_split=DatasetSplit.TEST, **ds_kwargs)
+    for ds_path in args.dataset_paths:
+        train_ds, dev_ds, test_ds = loader.load_splits(Path(ds_path), **ds_kwargs)
+        ww_train.extend(train_ds)
+        ww_dev.extend(dev_ds)
+        ww_test.extend(test_ds)
+    if args.use_stitched_datasets:
+        for ds_path in args.dataset_paths:
+            train_ds, dev_ds, test_ds = loader.load_splits(Path(ds_path), prefix="stitched-", **ds_kwargs)
+            ww_train.extend(train_ds)
+            ww_dev.extend(dev_ds)
+            ww_test.extend(test_ds)
+
+    for name, ds in (("train", ww_train), ("dev", ww_dev), ("test", ww_test)):
+        Logger.info(f"{name}: {len(ds)} clips")
+    if len(ww_train) == 0 and not args.eval:
+        raise SystemExit(
+            f"no training clips found under {args.dataset_paths} — expected "
+            "aligned-metadata-{training,dev,test}.jsonl plus an audio/ directory"
+        )
+
+    dev_pos = ww_dev.filter(lambda x: ctx.searcher.search(x.transcription), clone=True)
+    dev_neg = ww_dev.filter(lambda x: not ctx.searcher.search(x.transcription), clone=True)
+    test_pos = ww_test.filter(lambda x: ctx.searcher.search(x.transcription), clone=True)
+    test_neg = ww_test.filter(lambda x: not ctx.searcher.search(x.transcription), clone=True)
+    Logger.info(
+        f"dev+: {len(dev_pos)} dev-: {len(dev_neg)} test+: {len(test_pos)} test-: {len(test_neg)}"
+    )
+
+    sample_rate = SETTINGS.audio.sample_rate
+    window_ms = int(SETTINGS.training.max_window_size_seconds * 1000)
+    window_samples = int(window_ms / 1000 * sample_rate)
+
+    if use_frame:
+        batchifier = WakeWordFrameBatchifier(
+            ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate
+        )
+    else:
+        tokenizer = WakeWordTokenizer(ctx.vocab, ignore_oov=False)
+        max_audio = max(
+            (len(ww_train[i].audio_data) for i in range(len(ww_train))), default=window_samples
+        )
+        batchifier = AudioSequenceBatchifier(
+            ctx.negative_label, tokenizer, sample_rate=sample_rate, max_audio_samples=max_audio
+        )
+
+    # noise dataset -> device banks (train) + host banks (eval mixers)
+    noise_bank = None
+    dev_mix_bank = test_mix_bank = None
+    if SETTINGS.training.use_noise_dataset and SETTINGS.training.noise_dataset_path:
+        noise_ds = RecursiveNoiseDatasetLoader().load(
+            Path(SETTINGS.training.noise_dataset_path), sample_rate=sample_rate, mono=SETTINGS.audio.use_mono
+        )
+        Logger.info(f"loaded {len(noise_ds.metadata_list)} noise files")
+        noise_train, noise_rest = noise_ds.split(hash_utils.Sha256Splitter(80))
+        noise_dev, noise_test = noise_rest.split(hash_utils.Sha256Splitter(50))
+        noise_bank = build_noise_bank(noise_train, window_samples)
+        # eval mixers tile noise across the clip, so chunk size just needs to
+        # be <= the shortest noise clip
+        eval_chunk = min(
+            [sample_rate * 2]
+            + [len(noise_ds.load_audio(m)) for m in noise_ds.metadata_list[:8] if len(noise_ds.load_audio(m))]
+        )
+        dev_mix_bank = build_noise_bank(noise_dev, eval_chunk)
+        test_mix_bank = build_noise_bank(noise_test, eval_chunk)
+
+    Logger.heading("ZMUV normalization")
+    frontend_cfg = FrontendConfig.from_settings()
+    zmuv = workspace.load_zmuv()
+    if zmuv is None:
+        from howl_tpu.ops.frontend import log_mel_spectrogram
+
+        zmuv = ZmuvTransform()
+        feat_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
+        rng = np.random.default_rng(0)
+        idxs = rng.permutation(len(ww_train))[:256]
+        for i in idxs:
+            sample = ww_train[int(i)]
+            batch = batchifier([sample])
+            zmuv.update(np.asarray(feat_fn(batch.audio_data)))
+        workspace.save_zmuv(zmuv)
+    Logger.info(f"zmuv: mean={zmuv.mean:.4f} std={zmuv.std:.4f}")
+
+    Logger.heading("Model preparation")
+    step_cfg = StepConfig(
+        frontend=frontend_cfg,
+        zmuv_mean=zmuv.mean,
+        zmuv_std=zmuv.std,
+        augment=AugmentConfig(sample_rate=sample_rate) if args.use_augment else None,
+        use_vtlp=args.use_augment,
+        replace_prob=0.1 if noise_bank is not None else 0.0,
+        negative_label=ctx.negative_label,
+        blank_label=ctx.blank_label,
+    )
+    model = create_model(args.model, num_labels=ctx.num_labels)
+    spec = model_spec(args.model)
+    example_audio = np.zeros((1, window_samples), np.float32)
+    example_feats = featurize(example_audio, step_cfg)
+    steps_per_epoch = args.steps_per_epoch or max(len(ww_train) // SETTINGS.training.batch_size, 1)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(SETTINGS.training.seed),
+        example_feats,
+        learning_rate=SETTINGS.training.learning_rate,
+        weight_decay=SETTINGS.training.weight_decay,
+        lr_decay=SETTINGS.training.lr_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    Logger.info(f"{param_count(state)} parameters")
+
+    if args.load_weights or args.eval:
+        variables = workspace.load_model(
+            {"params": state.params, "batch_stats": state.batch_stats}, best=not args.load_last
+        )
+        state = state.replace(params=variables["params"], batch_stats=variables["batch_stats"])
+
+    def make_engine() -> StreamingEngine:
+        eng_cfg = EngineConfig.from_settings(ctx)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return StreamingEngine(
+            model, variables, eng_cfg, frontend_cfg, zmuv.mean, zmuv.std, spec=spec
+        )
+
+    def evaluate_engine(dataset, prefix: str, positive_set: bool, save: bool = False, mixer_bank=None, epoch_idx: int = 0):
+        engine = make_engine()
+        evaluator = BatchedEvaluator(engine)
+        conf, errors, total_ms = evaluator.evaluate(dataset, positive_set, mixer_bank)
+        Logger.info(f"{prefix}: {conf} mcc={conf.mcc:.4f}")
+        with (workspace.path / "errors.tsv").open("a") as error_file:
+            print(prefix, file=error_file)
+            for row in errors:
+                error_file.write("\t".join(map(str, row)) + "\n")
+        if save and not args.eval and positive_set:
+            workspace.log_scalar(f"{prefix}/Metric/tp_rate", conf.tp / max(len(dataset), 1), epoch_idx)
+            workspace.increment_model(
+                {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)},
+                conf.tp,
+            )
+        if args.eval:
+            threshold = engine.cfg.inference_threshold
+            with (workspace.path / f"{round(threshold, 2)}_results.csv").open("a") as f:
+                f.write(f"{prefix},{threshold},{conf.tp},{conf.tn},{conf.fp},{conf.fn}\n")
+        return conf
+
+    def do_evaluate() -> dict:
+        results = {}
+        results["dev_pos"] = evaluate_engine(dev_pos, "Dev positive", True)
+        results["dev_neg"] = evaluate_engine(dev_neg, "Dev negative", False)
+        if dev_mix_bank is not None:
+            results["dev_noisy_pos"] = evaluate_engine(dev_pos, "Dev noisy positive", True, mixer_bank=dev_mix_bank)
+            results["dev_noisy_neg"] = evaluate_engine(dev_neg, "Dev noisy negative", False, mixer_bank=dev_mix_bank)
+        results["test_pos"] = evaluate_engine(test_pos, "Test positive", True)
+        results["test_neg"] = evaluate_engine(test_neg, "Test negative", False)
+        if test_mix_bank is not None:
+            results["test_noisy_pos"] = evaluate_engine(test_pos, "Test noisy positive", True, mixer_bank=test_mix_bank)
+            results["test_noisy_neg"] = evaluate_engine(test_neg, "Test noisy negative", False, mixer_bank=test_mix_bank)
+        return results
+
+    if args.eval:
+        Logger.heading("Model evaluation")
+        return {k: vars(v) | {"mcc": v.mcc} for k, v in do_evaluate().items()}
+
+    Logger.heading("Model training")
+    workspace.write_args(args)
+    workspace.save_settings(SETTINGS)
+
+    noise_bank_dev = jax.numpy.asarray(noise_bank) if noise_bank is not None else None
+    if use_frame:
+        train_step = make_classification_train_step(model, step_cfg, noise_bank_dev)
+    else:
+        train_step = make_ctc_train_step(model, step_cfg, noise_bank_dev)
+
+    key = jax.random.PRNGKey(SETTINGS.training.seed + 1)
+    batch_size = SETTINGS.training.batch_size
+    rng = np.random.default_rng(SETTINGS.training.seed)
+
+    for epoch_idx in range(SETTINGS.training.num_epochs):
+        order = rng.permutation(len(ww_train))
+        losses = []
+        for start in range(0, steps_per_epoch * batch_size, batch_size):
+            idxs = [int(order[(start + j) % len(order)]) for j in range(batch_size)]
+            samples = [ww_train[i] for i in idxs]
+            batch = batchifier(samples)
+            if use_frame:
+                state, metrics = train_step(
+                    state, batch.audio_data, batch.labels, batch.lengths, key
+                )
+            else:
+                state, metrics = train_step(
+                    state, batch.audio_data, batch.labels, batch.audio_lengths, batch.label_lengths, key
+                )
+            losses.append(float(metrics["loss"]))
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        workspace.log_scalar("Training/Loss", mean_loss, epoch_idx)
+        lr = state.learning_rate
+        if lr is not None:
+            workspace.log_scalar("Training/LearningRate", float(lr), epoch_idx)
+        Logger.info(f"epoch {epoch_idx}: loss={mean_loss:.4f}")
+        if args.eval_freq > 0 and epoch_idx % args.eval_freq == 0 and epoch_idx != 0:
+            evaluate_engine(dev_pos, "Dev positive", True, save=True, epoch_idx=epoch_idx)
+
+    # make sure a checkpoint exists even when eval_freq never triggered
+    workspace.increment_model(
+        {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)},
+        workspace.best_quality if workspace.best_quality > float("-inf") else 0.0,
+    )
+    workspace.save_train_state(state)
+
+    Logger.heading("Model evaluation")
+    return {k: vars(v) | {"mcc": v.mcc} for k, v in do_evaluate().items()}
+
+
+def main():
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

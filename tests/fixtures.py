@@ -121,7 +121,7 @@ def make_wakeword_corpus(
     return root
 
 
-def make_noise_dir(root: Path, n: int = 3, seconds: float = 3.0):
+def make_noise_dir(root: Path, n: int = 12, seconds: float = 3.0):
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(7)

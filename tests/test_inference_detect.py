@@ -1,0 +1,178 @@
+"""Property tests: batched smoothing+FSM scan == scalar Python oracle, plus
+targeted FSM semantics (order, tolerance expiry, window expiry, threshold)."""
+
+import numpy as np
+import pytest
+
+from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.detect import smooth_and_detect
+from howl_tpu.inference.oracle import OracleEngine
+
+
+def _run_both(probs_bt, cfg, stride_ms, valid=None, check_offset=True):
+    """probs_bt: (B, T, L). Returns (engine_out, oracle_labels, oracle_fired)."""
+    b, t, _ = probs_bt.shape
+    times = np.arange(t) * stride_ms
+    valid_arr = np.ones((b, t), bool) if valid is None else valid
+    out = smooth_and_detect(
+        probs_bt, times.astype(np.float32), valid_arr, cfg, check_offset_is_stride=check_offset
+    )
+    o_labels = np.zeros((b, t), np.int64)
+    o_fired = np.zeros((b, t), bool)
+    for i in range(b):
+        oracle = OracleEngine(cfg)
+        o_labels[i], o_fired[i] = oracle.run(probs_bt[i], times, valid_arr[i], check_offset)
+    return out, o_labels, o_fired
+
+
+def _random_probs(rng, b, t, l, concentration=1.0):
+    x = rng.gamma(concentration, size=(b, t, l))
+    return (x / x.sum(-1, keepdims=True)).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_engine_matches_oracle_random(seed):
+    rng = np.random.default_rng(seed)
+    cfg = EngineConfig(
+        inference_sequence=(0, 1, 2),
+        inference_window_ms=800.0,
+        smoothing_window_ms=125.0,
+        tolerance_window_ms=250.0,
+        inference_threshold=0.5,
+        negative_label=3,
+        num_labels=4,
+    )
+    # spiky posteriors so labels vary; stride 62.5 ms, 48 steps
+    probs = _random_probs(rng, 4, 48, 4, concentration=0.3)
+    out, o_labels, o_fired = _run_both(probs, cfg, 62.5)
+    np.testing.assert_array_equal(np.asarray(out["labels"]), o_labels)
+    np.testing.assert_array_equal(np.asarray(out["detected"]), o_fired.any(axis=1))
+    # first fire step matches where detected
+    first = np.asarray(out["first_fire_step"])
+    for i in range(4):
+        if o_fired[i].any():
+            assert first[i] == int(np.argmax(o_fired[i]))
+
+
+def test_engine_matches_oracle_with_blank_and_invalid():
+    rng = np.random.default_rng(7)
+    cfg = EngineConfig(
+        inference_sequence=(0, 1),
+        inference_window_ms=1000.0,
+        smoothing_window_ms=200.0,
+        tolerance_window_ms=300.0,
+        inference_threshold=0.4,
+        negative_label=2,
+        blank_label=3,
+        num_labels=4,
+    )
+    probs = _random_probs(rng, 3, 40, 4, concentration=0.25)
+    valid = rng.random((3, 40)) > 0.2  # some masked steps (padding)
+    out, o_labels, o_fired = _run_both(probs, cfg, 100.0, valid=valid, check_offset=False)
+    np.testing.assert_array_equal(np.asarray(out["labels"]), o_labels)
+    np.testing.assert_array_equal(np.asarray(out["detected"]), o_fired.any(axis=1))
+
+
+def _frames_for(labels_seq, num_labels, p=0.97):
+    """Posterior frames with prob mass p on the given label per step."""
+    t = len(labels_seq)
+    probs = np.full((t, num_labels), (1 - p) / (num_labels - 1), np.float32)
+    for i, l in enumerate(labels_seq):
+        probs[i, l] = p
+    return probs
+
+
+def test_fsm_fires_in_order_only():
+    cfg = EngineConfig(
+        inference_sequence=(0, 1, 2),
+        inference_window_ms=2000.0,
+        smoothing_window_ms=50.0,
+        tolerance_window_ms=500.0,
+        inference_threshold=0.0,
+        negative_label=3,
+        num_labels=4,
+    )
+    good = _frames_for([3, 0, 0, 1, 1, 2, 3], 4)
+    bad = _frames_for([3, 2, 1, 0, 3, 3, 3], 4)  # reversed order
+    partial = _frames_for([0, 1, 3, 3, 3, 3, 3], 4)  # incomplete
+    probs = np.stack([good, bad, partial])
+    out = smooth_and_detect(probs, np.arange(7, dtype=np.float32) * 62.5, np.ones((3, 7), bool), cfg)
+    detected = np.asarray(out["detected"])
+    assert detected.tolist() == [True, False, False]
+
+
+def test_fsm_tolerance_expiry():
+    cfg = EngineConfig(
+        inference_sequence=(0, 1),
+        inference_window_ms=10000.0,
+        smoothing_window_ms=50.0,
+        tolerance_window_ms=250.0,  # = 2 steps at 125 ms
+        inference_threshold=0.0,
+        negative_label=2,
+        num_labels=3,
+    )
+    # 0 then neg-gap short enough (2 steps < tolerance) then 1 -> fires
+    ok = _frames_for([0, 2, 1, 2, 2, 2], 3)
+    # 0 then a gap of 3 steps (375 ms > 250 ms tolerance) then 1 -> resets, no fire
+    too_late = _frames_for([0, 2, 2, 2, 1, 2], 3)
+    probs = np.stack([ok, too_late])
+    out = smooth_and_detect(probs, np.arange(6, dtype=np.float32) * 125.0, np.ones((2, 6), bool), cfg)
+    assert np.asarray(out["detected"]).tolist() == [True, False]
+
+
+def test_fsm_inference_window_expiry():
+    cfg = EngineConfig(
+        inference_sequence=(0, 1),
+        inference_window_ms=300.0,  # tight: older labels drop out
+        smoothing_window_ms=50.0,
+        tolerance_window_ms=10000.0,
+        inference_threshold=0.0,
+        negative_label=2,
+        num_labels=3,
+    )
+    # '0' at t=0 expires from the window by the time '1' arrives at t=500
+    seq = _frames_for([0, 2, 2, 2, 1, 2], 3)
+    out = smooth_and_detect(seq[None], np.arange(6, dtype=np.float32) * 125.0, np.ones((1, 6), bool), cfg)
+    assert not bool(np.asarray(out["detected"])[0])
+    # same labels closer together fires
+    seq2 = _frames_for([0, 1, 2, 2, 2, 2], 3)
+    out2 = smooth_and_detect(seq2[None], np.arange(6, dtype=np.float32) * 125.0, np.ones((1, 6), bool), cfg)
+    assert bool(np.asarray(out2["detected"])[0])
+
+
+def test_threshold_suppresses_weak_posteriors():
+    cfg = EngineConfig(
+        inference_sequence=(0,),
+        inference_window_ms=1000.0,
+        smoothing_window_ms=50.0,
+        tolerance_window_ms=500.0,
+        inference_threshold=0.9,
+        negative_label=1,
+        num_labels=2,
+    )
+    weak = _frames_for([0, 0, 0], 2, p=0.6)  # below threshold
+    strong = _frames_for([0, 0, 0], 2, p=0.95)
+    probs = np.stack([weak, strong])
+    out = smooth_and_detect(probs, np.arange(3, dtype=np.float32) * 62.5, np.ones((2, 3), bool), cfg)
+    assert np.asarray(out["detected"]).tolist() == [False, True]
+    # weak frames were labeled negative
+    assert np.asarray(out["labels"])[0].tolist() == [1, 1, 1]
+
+
+def test_smoothing_max_pool_carries_peak():
+    # a single strong frame keeps winning the argmax for the whole smoothing window
+    cfg = EngineConfig(
+        inference_sequence=(0,),
+        inference_window_ms=1000.0,
+        smoothing_window_ms=200.0,  # 4 steps at 62.5 ms
+        tolerance_window_ms=500.0,
+        inference_threshold=0.0,
+        negative_label=1,
+        num_labels=2,
+    )
+    probs = _frames_for([1, 0, 1, 1, 1, 1, 1, 1], 2, p=0.99)
+    out = smooth_and_detect(probs[None], np.arange(8, dtype=np.float32) * 62.5, np.ones((1, 8), bool), cfg)
+    labels = np.asarray(out["labels"])[0]
+    # steps 1..4 all see the strong label-0 frame inside their smoothing window
+    assert labels[1] == 0 and labels[2] == 0 and labels[3] == 0 and labels[4] == 0
+    assert labels[5] == 1  # frame at t=62.5 now outside the 200 ms window
