@@ -155,10 +155,17 @@ def smooth_and_detect(
     cfg: EngineConfig,
     check_offset_is_stride: bool = True,
 ) -> dict:
-    """Scan posterior frames (B, T, L) through smoothing + FSM.
+    """Smoothing + FSM over posterior frames (B, T, L), ALL STEPS IN PARALLEL.
 
-    times: (T,) frame timestamps in ms (host values — ring sizes derive from
-    the stride, which must be static). valid_seq: (B, T) frame validity.
+    Semantically identical to scanning `detect_step` over time (property-tested
+    against the scalar oracle) but reformulated for TPU: the smoothing max and
+    the per-step FSM window re-scan both only look at a bounded trailing window,
+    so every step's decision is computed simultaneously — one gather to
+    (B, T, W) plus a single W-deep fori_loop over (B, T) state vectors.
+    Sequential depth drops from T*W to W (~33 at defaults).
+
+    times: (T,) uniform-stride frame timestamps in ms (host values).
+    valid_seq: (B, T) frame validity (padding windows / CTC blank frames).
     check_offset_is_stride mirrors FrameInferenceEngine (the FSM is consulted at
     t + stride, inference.py:235-243) vs InferenceEngine (at t, :201-208).
 
@@ -167,42 +174,85 @@ def smooth_and_detect(
     """
     times = np.asarray(times, np.float32)
     stride = float(times[1] - times[0]) if times.shape[0] > 1 else cfg.eval_stride_size_ms
-    s_steps = max(int(cfg.smoothing_window_ms // max(stride, 1e-6)) + 1, 1)
-    w_steps = max(int(cfg.inference_window_ms // max(stride, 1e-6)) + 1, 1)
+    stride = max(stride, 1e-6)
+    s_steps = max(int(cfg.smoothing_window_ms // stride) + 1, 1)
     check_offset = stride if check_offset_is_stride else 0.0
-    return _smooth_and_detect_jit(probs_seq, jnp.asarray(times), valid_seq, cfg, s_steps, w_steps, check_offset)
+    # shifts k where an entry at t-k is still inside the inference window when
+    # checked at t + check_offset: k*stride + check_offset <= window
+    w_steps = max(int((cfg.inference_window_ms - check_offset) // stride) + 1, 1)
+    return _smooth_and_detect_parallel(
+        probs_seq, valid_seq, cfg, s_steps, w_steps, float(stride), float(check_offset)
+    )
 
 
-@partial(jax.jit, static_argnames=("cfg", "s_steps", "w_steps", "check_offset"))
-def _smooth_and_detect_jit(
+@partial(jax.jit, static_argnames=("cfg", "s_steps", "w_steps", "stride", "check_offset"))
+def _smooth_and_detect_parallel(
     probs_seq: jnp.ndarray,
-    times: jnp.ndarray,
     valid_seq: jnp.ndarray,
     cfg: EngineConfig,
     s_steps: int,
     w_steps: int,
+    stride: float,
     check_offset: float,
 ) -> dict:
     batch, t_total, num_labels = probs_seq.shape
-    state = init_state(batch, num_labels, s_steps, w_steps)
+    valid_seq = valid_seq.astype(bool)
+    if cfg.blank_label >= 0:
+        valid_seq = valid_seq & (probs_seq.argmax(-1) != cfg.blank_label)
 
-    def step(state, inp):
-        probs, t_now, valid = inp
-        state, label, fired_now = detect_step(state, probs, t_now, valid, cfg, check_offset)
-        return state, (label, fired_now)
+    # ---- smoothing for all steps at once: masked max over s_steps shifts
+    lattice = jnp.where(valid_seq[:, :, None], probs_seq, -jnp.inf)
+    smoothed = lattice
+    for k in range(1, s_steps):
+        shifted = jnp.pad(lattice, ((0, 0), (k, 0), (0, 0)), constant_values=-jnp.inf)[:, :t_total]
+        smoothed = jnp.maximum(smoothed, shifted)
+    max_label = smoothed.argmax(-1).astype(jnp.int32)
+    max_prob = smoothed.max(-1)
+    labels = jnp.where(max_prob < cfg.inference_threshold, cfg.negative_label, max_label)
 
-    final, (labels, fired_steps) = jax.lax.scan(
-        step, state, (probs_seq.swapaxes(0, 1), times, valid_seq.swapaxes(0, 1))
+    # ---- FSM for all steps at once over trailing label windows
+    seq = jnp.asarray(cfg.inference_sequence, jnp.int32)
+    k_len = len(cfg.inference_sequence)
+    # padded[:, t + j] = entry at step t - (w_steps-1-j), oldest first
+    pad_lab = jnp.pad(labels, ((0, 0), (w_steps - 1, 0)), constant_values=-1)
+    pad_val = jnp.pad(valid_seq, ((0, 0), (w_steps - 1, 0)), constant_values=False)
+
+    def body(j, carry):
+        target, curr_label, last_valid, fired = carry  # each (B, T)
+        back = w_steps - 1 - j  # how many steps back this entry is (traced)
+        lab = jax.lax.dynamic_slice_in_dim(pad_lab, j, t_total, axis=1)
+        val = jax.lax.dynamic_slice_in_dim(pad_val, j, t_total, axis=1)
+        rel_t = -back.astype(jnp.float32) * stride  # entry time relative to step t
+        # entry must be inside the inference window at check time
+        in_window = (back * stride + check_offset) <= cfg.inference_window_ms
+        val = val & in_window
+        target_label = seq[jnp.clip(target, 0, k_len - 1)]
+        advance = val & ~fired & (lab == target_label)
+        same = val & ~fired & ~advance & (lab == curr_label)
+        expire = val & ~fired & ~advance & ~same & (last_valid + cfg.tolerance_window_ms < rel_t)
+        new_target = jnp.where(advance, target + 1, jnp.where(expire, 0, target))
+        fired = fired | (new_target >= k_len)
+        curr_label = jnp.where(advance, target_label, jnp.where(expire, -1, curr_label))
+        last_valid = jnp.where(advance | same, rel_t, jnp.where(expire, -1e30, last_valid))
+        return new_target, curr_label, last_valid, fired
+
+    init = (
+        jnp.zeros((batch, t_total), jnp.int32),
+        jnp.full((batch, t_total), -1, jnp.int32),
+        jnp.full((batch, t_total), -1e30, jnp.float32),
+        jnp.zeros((batch, t_total), bool),
     )
-    labels = labels.swapaxes(0, 1)
-    fired_steps = fired_steps.swapaxes(0, 1)
-    first_fire = jnp.where(
-        final.fired, jnp.argmax(fired_steps, axis=1), jnp.full((batch,), t_total)
-    )
+    if k_len == 0:
+        fired_at = init[3]
+    else:
+        _, _, _, fired_at = jax.lax.fori_loop(0, w_steps, body, init)
+    fired_steps = fired_at & valid_seq  # a step with no appended frame can't fire
+    detected = fired_steps.any(axis=1)
+    first_fire = jnp.where(detected, jnp.argmax(fired_steps, axis=1), jnp.full((batch,), t_total))
     return {
-        "labels": labels,
+        "labels": jnp.where(valid_seq, labels, -1),
         "fired": fired_steps,
-        "detected": final.fired,
+        "detected": detected,
         "first_fire_step": first_fire,
     }
 
