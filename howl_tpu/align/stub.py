@@ -1,0 +1,17 @@
+"""Stub aligner: evenly spread characters over the clip (ref: training/align/stub.py:6)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from howl_tpu.align.base import AlignedTranscription, Aligner
+
+
+class StubAligner(Aligner):
+    def align(self, sample) -> AlignedTranscription:
+        end_ms = sample.audio_data.shape[-1] / sample.sample_rate * 1000
+        transcription = sample.metadata.transcription.lower()
+        return AlignedTranscription(
+            transcription=transcription,
+            end_timestamps=np.linspace(0, end_ms, len(transcription)).tolist(),
+        )

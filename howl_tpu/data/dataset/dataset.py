@@ -50,6 +50,12 @@ class AudioDataset:
         self.set_type = set_type
         self.sample_rate = sample_rate or SETTINGS.audio.sample_rate
         self.mono = SETTINGS.audio.use_mono if mono is None else mono
+        if dataset_split == DatasetSplit.UNSPECIFIED and set_type != DatasetType.UNSPECIFIED:
+            dataset_split = {
+                DatasetType.TRAINING: DatasetSplit.TRAINING,
+                DatasetType.DEV: DatasetSplit.DEV,
+                DatasetType.TEST: DatasetSplit.TEST,
+            }[set_type]
         self.dataset_split = dataset_split
 
     def __len__(self):

@@ -214,6 +214,13 @@ def run(args=None) -> dict:
         Logger.info(f"loaded {len(noise_ds.metadata_list)} noise files")
         noise_train, noise_rest = noise_ds.split(hash_utils.Sha256Splitter(80))
         noise_dev, noise_test = noise_rest.split(hash_utils.Sha256Splitter(50))
+        # small noise corpora can leave a split empty; fall back to all noise
+        for name in ("noise_train", "noise_dev", "noise_test"):
+            if len(locals()[name]) == 0:
+                Logger.warning(f"{name} split is empty; falling back to the full noise set")
+        noise_train = noise_train if len(noise_train) else noise_ds
+        noise_dev = noise_dev if len(noise_dev) else noise_ds
+        noise_test = noise_test if len(noise_test) else noise_ds
         noise_bank = build_noise_bank(noise_train, window_samples)
         # eval mixers tile noise across the clip, so chunk size just needs to
         # be <= the shortest noise clip
