@@ -1,0 +1,191 @@
+"""Live wake-word client (ref: howl/client/howl_client.py:14-164).
+
+Same cadence contract as the reference: 16 kHz mono int16, 500-sample chunks,
+a 16-chunk (500 ms) ring buffer re-scored every 2 chunks (62.5 ms hop),
+duplicate-fire suppression, and user listener callbacks.
+
+The audio source is pluggable: ``MicrophoneAudioSource`` uses pyaudio when
+available (a native PortAudio binding, like the reference); ``FileAudioSource``
+replays WAV files for tests/offline use; any iterator of int16 byte chunks
+works.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from howl_tpu.utils import audio_utils
+from howl_tpu.utils.logger import Logger
+
+
+class MicrophoneAudioSource:
+    """PortAudio microphone stream -> int16 chunks (requires pyaudio)."""
+
+    def __init__(self, sample_rate: int = 16000, chunk_size: int = 500):
+        self.sample_rate = sample_rate
+        self.chunk_size = chunk_size
+        self._audio = None
+        self._stream = None
+
+    def __iter__(self) -> Iterator[bytes]:
+        try:
+            import pyaudio
+        except ImportError as e:
+            raise RuntimeError(
+                "pyaudio is not installed; use FileAudioSource or provide your own chunk iterator"
+            ) from e
+        self._audio = pyaudio.PyAudio()
+        chosen_idx = 0
+        for idx in range(self._audio.get_device_count()):
+            info = self._audio.get_device_info_by_index(idx)
+            if info["name"] in ("pulse", "sysdefault"):
+                chosen_idx = idx
+                break
+        self._stream = self._audio.open(
+            format=pyaudio.paInt16,
+            channels=1,
+            rate=self.sample_rate,
+            input=True,
+            input_device_index=chosen_idx,
+            frames_per_buffer=self.chunk_size,
+        )
+        while True:
+            yield self._stream.read(self.chunk_size, exception_on_overflow=False)
+
+    def close(self):
+        if self._stream is not None:
+            self._stream.stop_stream()
+            self._stream.close()
+        if self._audio is not None:
+            self._audio.terminate()
+
+
+class FileAudioSource:
+    """Replays WAV file(s) as int16 chunks (for tests and offline runs)."""
+
+    def __init__(self, paths, sample_rate: int = 16000, chunk_size: int = 500, realtime: bool = False):
+        self.paths = [paths] if isinstance(paths, (str, Path)) else list(paths)
+        self.sample_rate = sample_rate
+        self.chunk_size = chunk_size
+        self.realtime = realtime
+
+    def __iter__(self) -> Iterator[bytes]:
+        for path in self.paths:
+            audio = audio_utils.silent_load(path, self.sample_rate)
+            pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2")
+            for start in range(0, len(pcm) - self.chunk_size + 1, self.chunk_size):
+                if self.realtime:
+                    time.sleep(self.chunk_size / self.sample_rate)
+                yield pcm[start : start + self.chunk_size].tobytes()
+
+    def close(self):
+        pass
+
+
+class HowlClient:
+    """Wake-word serving loop over an OnlineEngine.
+
+    Usage::
+
+        client = HowlClient.from_workspace("workspaces/hey-ff", "res8")
+        client.add_listener(lambda words: print("detected:", words))
+        client.start().join()
+    """
+
+    def __init__(
+        self,
+        engine=None,
+        context=None,
+        source: Optional[Iterable[bytes]] = None,
+        chunk_size: int = 500,
+    ):
+        self.engine = engine
+        self.ctx = context
+        self.source = source
+        self.chunk_size = chunk_size
+        self.listeners: List[Callable] = []
+        self._audio_buf: List[bytes] = []
+        self._audio_buf_len = 16  # 16 x 500 samples = 500 ms window
+        self._audio_float_size = 32767.0
+        self._infer_detected = False
+        self._running = False
+        self.detections = 0
+
+    # ---- construction ----
+
+    @classmethod
+    def from_workspace(cls, workspace_path, model_name: str = None, source=None, **kwargs) -> "HowlClient":
+        from howl_tpu.hub import load_workspace_engine
+
+        engine, ctx = load_workspace_engine(workspace_path, model_name)
+        return cls(engine=engine, context=ctx, source=source, **kwargs)
+
+    def from_pretrained(self, name: str, models_path=None):
+        """Load a published pretrained model by name (ref howl_client.py:148).
+
+        Models resolve from ``models_path`` or $HOWL_MODELS_PATH — a checkout
+        of a howl-models-style repository of workspaces.
+        """
+        from howl_tpu.hub import load_pretrained
+
+        self.engine, self.ctx = load_pretrained(name, models_path)
+        return self
+
+    def add_listener(self, listener: Callable):
+        self.listeners.append(listener)
+        return self
+
+    # ---- the loop ----
+
+    def _normalize_audio(self, audio_data: bytes) -> np.ndarray:
+        return np.frombuffer(audio_data, dtype="<i2").astype(np.float32) / self._audio_float_size
+
+    def ingest_chunk(self, chunk: bytes) -> bool:
+        """Feed one chunk; runs inference every 2 chunks once the buffer fills
+        (exact reference cadence, howl_client.py:85-94). Returns True when the
+        wakeword fired on this hop."""
+        self._audio_buf.append(chunk)
+        if len(self._audio_buf) != self._audio_buf_len:
+            return False
+        window = self._normalize_audio(b"".join(self._audio_buf))
+        self._audio_buf = self._audio_buf[2:]
+        if self.engine.ingest(window):
+            if self._infer_detected:
+                return False
+            self._infer_detected = True
+            self.detections += 1
+            phrase = " ".join(str(self.ctx.vocab[x]) for x in self.engine.cfg.inference_sequence).title()
+            Logger.info(f"{phrase} detected")
+            for listener in self.listeners:
+                listener(list(self.engine.cfg.inference_sequence))
+            return True
+        self._infer_detected = False
+        return False
+
+    def start(self) -> "HowlClient":
+        if self.engine is None:
+            raise AttributeError("provide an engine or initialize via from_pretrained/from_workspace")
+        if self.source is None:
+            self.source = MicrophoneAudioSource(chunk_size=self.chunk_size)
+        self._running = True
+        Logger.info("starting howl_tpu inference client...")
+        return self
+
+    def join(self):
+        """Consume the audio source until it ends (or forever for a mic)."""
+        try:
+            for chunk in self.source:
+                if not self._running:
+                    break
+                self.ingest_chunk(chunk)
+        finally:
+            close = getattr(self.source, "close", None)
+            if close:
+                close()
+
+    def stop(self):
+        self._running = False

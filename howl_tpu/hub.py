@@ -1,0 +1,98 @@
+"""Pretrained-model hub (ref: hubconf.py:27-136).
+
+Reconstructs a full inference stack — settings snapshot, InferenceContext,
+ZMUV stats, model weights, OnlineEngine — from a workspace directory, and
+resolves published model names against a local howl-models-style checkout
+(``$HOWL_MODELS_PATH``). The reference downloads a release zip via torch.hub;
+here resolution is path-based (this framework targets hermetic deployments;
+wire your own fetch in front if you want remote zips).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from howl_tpu.context import InferenceContext
+from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.online import OnlineEngine
+from howl_tpu.models import create_model
+from howl_tpu.models.base import model_spec
+from howl_tpu.ops.frontend import FrontendConfig
+from howl_tpu.settings import SETTINGS
+from howl_tpu.workspace import Workspace
+
+# published model name -> (model architecture, workspace path inside howl-models)
+PRETRAINED_MODELS = {
+    "hey_fire_fox": ("res8", "howl/hey-fire-fox"),
+}
+
+
+def load_workspace_engine(
+    workspace_path, model_name: Optional[str] = None, best: bool = True, num_streams: int = 1
+) -> Tuple[OnlineEngine, InferenceContext]:
+    """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84)."""
+    workspace = Workspace(Path(workspace_path), delete_existing=False)
+    settings = workspace.load_settings(SETTINGS)
+
+    if model_name is None:
+        import json
+
+        args_path = workspace.path / "cmd-args.json"
+        if args_path.exists():
+            model_name = json.loads(args_path.read_text()).get("model")
+        if model_name is None:
+            raise ValueError("model_name not given and cmd-args.json missing from workspace")
+
+    use_frame = settings.training.objective == "frame"
+    ctx = InferenceContext(
+        vocab=settings.training.vocab,
+        token_type=settings.training.token_type,
+        use_blank=not use_frame,
+    )
+    zmuv = workspace.load_zmuv()
+    if zmuv is None:
+        raise FileNotFoundError(f"zmuv.json missing from workspace {workspace.path}")
+
+    model = create_model(model_name, num_labels=ctx.num_labels)
+    frontend = FrontendConfig.from_settings()
+    window_samples = int(settings.training.max_window_size_seconds * settings.audio.sample_rate)
+    feats0 = np.zeros((1, 3, frontend.n_mels, frontend.num_frames(window_samples)), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    variables = workspace.load_model(variables, best=best)
+
+    cfg = EngineConfig.from_settings(ctx)
+    engine = OnlineEngine(
+        model,
+        variables,
+        cfg,
+        frontend,
+        zmuv.mean,
+        zmuv.std,
+        spec=model_spec(model_name),
+        num_streams=num_streams,
+    )
+    return engine, ctx
+
+
+def load_pretrained(name: str, models_path=None, **kwargs) -> Tuple[OnlineEngine, InferenceContext]:
+    """Resolve a published model name against a howl-models checkout."""
+    if name not in PRETRAINED_MODELS:
+        raise ValueError(f"unknown pretrained model {name!r}; available: {sorted(PRETRAINED_MODELS)}")
+    models_path = models_path or os.environ.get("HOWL_MODELS_PATH")
+    if not models_path:
+        raise ValueError(
+            "set HOWL_MODELS_PATH (or pass models_path) to a howl-models checkout "
+            "containing the published workspaces"
+        )
+    model_name, workspace_rel = PRETRAINED_MODELS[name]
+    return load_workspace_engine(Path(models_path) / workspace_rel, model_name, **kwargs)
+
+
+def hey_fire_fox(**kwargs):
+    """Pretrained 'hey firefox' model (ref hubconf.py:27)."""
+    return load_pretrained("hey_fire_fox", **kwargs)

@@ -1,0 +1,106 @@
+"""Single-stream online engine for live serving.
+
+The batched engines in engine.py score whole clips; the live client instead
+feeds one sliding window at a time (ref: FrameInferenceEngine.ingest_frame,
+howl/model/inference.py:247-272, driven by HowlClient at a ~62.5 ms hop).
+This wraps one jitted step — featurize window -> model -> posteriors ->
+detect_step (the same ring-buffer smoothing+FSM the batched path is
+property-tested against) — with persistent on-device state between calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.detect import DetectState, apply_inference_weights, detect_step, init_state
+from howl_tpu.models.base import ModelSpec, model_spec
+from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+
+
+class OnlineEngine:
+    """Stateful single-stream (or N parallel stream) wakeword scorer."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        cfg: EngineConfig,
+        frontend: FrontendConfig,
+        zmuv_mean: float = 0.0,
+        zmuv_std: float = 1.0,
+        spec: Optional[ModelSpec] = None,
+        num_streams: int = 1,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.frontend = frontend
+        self.zmuv_mean = float(zmuv_mean)
+        self.zmuv_std = float(zmuv_std)
+        self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
+        self.num_streams = num_streams
+        self.window_samples = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate)
+        stride = cfg.eval_stride_size_ms
+        self._s_steps = max(int(cfg.smoothing_window_ms // max(stride, 1e-6)) + 1, 1)
+        self._w_steps = max(int(cfg.inference_window_ms // max(stride, 1e-6)) + 1, 1)
+        self._step = self._build_step()
+        self.reset()
+
+    def reset(self):
+        """Clear histories + streaming state (ref inference.py:73-79)."""
+        self.state = init_state(self.num_streams, self.cfg.num_labels, self._s_steps, self._w_steps)
+        self.carry = None
+        self.curr_time = 0.0
+
+    def _build_step(self):
+        model, cfg, frontend, spec = self.model, self.cfg, self.frontend, self.spec
+
+        @partial(jax.jit, static_argnames=())
+        def step(variables, audio, state: DetectState, t_now, carry):
+            feats = log_mel_spectrogram(audio, frontend, stacked=True)
+            feats = (feats - self.zmuv_mean) / self.zmuv_std
+            if spec.is_recurrent:
+                out, new_carry = model.apply(variables, feats, train=False, carry=carry, return_carry=True)
+            else:
+                out = model.apply(variables, feats, train=False)
+                new_carry = carry
+            if out.ndim == 3:  # sequential model: use the last frame's logits
+                out = out[-1]
+            probs = jax.nn.softmax(out, -1)
+            probs = apply_inference_weights(probs, cfg)
+            valid = jnp.ones((audio.shape[0],), bool)
+            new_state, label, fired_now = detect_step(
+                state, probs, t_now, valid, cfg, check_offset_ms=cfg.eval_stride_size_ms
+            )
+            return new_state, label, fired_now, new_carry
+
+        return step
+
+    def ingest(self, window_audio: np.ndarray) -> bool:
+        """Feed the current audio window(s); True if the wakeword fired now.
+
+        window_audio: (window_samples,) or (num_streams, window_samples),
+        float32 in [-1, 1]. Shorter windows are zero-padded on the left
+        (matching how a filling ring buffer presents its content).
+        """
+        audio = np.asarray(window_audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        if audio.shape[-1] < self.window_samples:
+            audio = np.pad(audio, ((0, 0), (self.window_samples - audio.shape[-1], 0)))
+        audio = audio[:, -self.window_samples :]
+        self.state, label, fired_now, self.carry = self._step(
+            self.variables, audio, self.state, jnp.float32(self.curr_time), self.carry
+        )
+        self.curr_time += self.cfg.eval_stride_size_ms
+        return bool(np.asarray(fired_now).any())
+
+    def infer(self, window_audio: np.ndarray) -> bool:
+        """Reference-API-shaped alias for ingest()."""
+        return self.ingest(window_audio)

@@ -1,0 +1,38 @@
+"""Live demo: workspace model + microphone (or WAV replay) client
+(ref: training/run/demo.py:16-58)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from howl_tpu.client.howl_client import FileAudioSource, HowlClient
+from howl_tpu.models import MODEL_REGISTRY
+from howl_tpu.utils.args_utils import ArgumentParserBuilder, opt
+
+
+def run(args=None):
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    apb = ArgumentParserBuilder()
+    apb.add_options(
+        opt("--model", type=str, choices=sorted(MODEL_REGISTRY), default=None),
+        opt("--workspace", type=str, default=str(Path("workspaces") / "default")),
+        opt("--wav", type=str, nargs="*", default=None, help="replay WAV files instead of the microphone"),
+    )
+    args = apb.parser.parse_args(args)
+
+    source = FileAudioSource(args.wav) if args.wav else None
+    client = HowlClient.from_workspace(args.workspace, args.model, source=source)
+    client.add_listener(lambda words: print(f"wakeword detected: {words}"))
+    client.start().join()
+    return client
+
+
+def main():
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()
