@@ -31,15 +31,18 @@ class ModelSpec:
     factory: Callable[..., nn.Module]
     is_sequential: bool = False  # emits (T, B, L) per-frame logits
     is_recurrent: bool = False  # carries streaming state
+    uses_deltas: bool = False  # consumes delta/accel channels (only LAS does)
     defaults: Dict[str, Any] = field(default_factory=dict)
 
 
 MODEL_REGISTRY: Dict[str, ModelSpec] = {}
 
 
-def register_model(name: str, is_sequential: bool = False, is_recurrent: bool = False, **defaults):
+def register_model(
+    name: str, is_sequential: bool = False, is_recurrent: bool = False, uses_deltas: bool = False, **defaults
+):
     def wrap(cls):
-        MODEL_REGISTRY[name] = ModelSpec(name, cls, is_sequential, is_recurrent, defaults)
+        MODEL_REGISTRY[name] = ModelSpec(name, cls, is_sequential, is_recurrent, uses_deltas, defaults)
         cls.registered_name = name
         return cls
 

@@ -171,7 +171,7 @@ class FixedAttentionModule(nn.Module):
         return vec.reshape(B, dim)
 
 
-@register_model("las")
+@register_model("las", uses_deltas=True)
 class LASClassifier(HowlModel):
     """LAS encoder + fixed attention + MLP head (ref rnn.py:194-222)."""
 

@@ -1,0 +1,96 @@
+"""GSC commands-recognition protocol: models x seeds -> accuracy report
+(ref: training/run/eval_commands_recognition.py:22-148 — 20 epochs, batch 64,
+1 s window, LR 0.01 for res8 / 0.001 otherwise, NUM_MELS 40; mean/std/p90/95/99
+across seeds; xlsx replaced by CSV)."""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from howl_tpu.settings import SETTINGS
+from howl_tpu.utils.args_utils import ArgumentParserBuilder, opt
+from howl_tpu.utils.logger import Logger
+
+PROTOCOL_ENV = {
+    "NUM_EPOCHS": "20",
+    "BATCH_SIZE": "64",
+    "MAX_WINDOW_SIZE_SECONDS": "1",
+    "EVAL_WINDOW_SIZE_SECONDS": "1",
+    "NUM_MELS": "40",
+}
+MODEL_LR = {"res8": "0.01"}
+DEFAULT_LR = "0.001"
+
+
+def run(args=None) -> dict:
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    apb = ArgumentParserBuilder()
+    apb.add_options(
+        opt("--models", type=str, nargs="+", default=["res8", "lstm", "las", "mobilenet"]),
+        opt("--workspace", type=str, required=True),
+        opt("--dataset-path", "-i", type=str, default=None),
+        opt("--num-models", "-n", type=int, default=1, help="seeds per model"),
+        opt("--num-labels", type=int, default=12),
+        opt("--vocab", type=str, default=None, help="JSON list; default GSC-10 command words"),
+    )
+    args = apb.parser.parse_args(args)
+
+    vocab = args.vocab or '["yes","no","up","down","left","right","on","off","stop","go"]'
+    base = Path(args.workspace)
+
+    from howl_tpu.training.run.pretrain_gsc import run as gsc_run
+
+    results = {}
+    for model in args.models:
+        accs = []
+        for seed in range(args.num_models):
+            ws = base / model / f"seed_{seed}"
+            env = dict(PROTOCOL_ENV)
+            env["LEARNING_RATE"] = MODEL_LR.get(model, DEFAULT_LR)
+            env["SEED"] = str(seed)
+            env["VOCAB"] = vocab
+            if args.dataset_path:
+                env["DATASET_PATH"] = args.dataset_path
+            os.environ.update(env)
+            SETTINGS.reset()
+            out = gsc_run(
+                ["--model", model, "--workspace", str(ws), "--num-labels", str(args.num_labels)]
+            )
+            accs.append(out["test_acc"])
+        arr = np.asarray(accs)
+        results[model] = {
+            "accuracies": accs,
+            "mean": float(arr.mean()),
+            "std": float(arr.std(ddof=1)) if len(arr) > 1 else 0.0,
+            "p90": float(np.percentile(arr, 90)),
+            "p95": float(np.percentile(arr, 95)),
+            "p99": float(np.percentile(arr, 99)),
+        }
+        Logger.info(f"{model}: test acc mean={results[model]['mean']:.4f}")
+
+    base.mkdir(parents=True, exist_ok=True)
+    with (base / "commands_recognition_report.csv").open("w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["model", "mean", "std", "p90", "p95", "p99"])
+        for model, stats in results.items():
+            writer.writerow(
+                [model] + [round(stats[k], 4) for k in ("mean", "std", "p90", "p95", "p99")]
+            )
+    (base / "commands_recognition_raw.json").write_text(json.dumps(results, indent=2))
+    return results
+
+
+def main():
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

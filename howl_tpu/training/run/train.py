@@ -90,19 +90,16 @@ class BatchedEvaluator:
         self.bucket_samples = int(bucket_seconds * engine.cfg.sample_rate)
         self.max_batch = max_batch
 
-    def evaluate(self, dataset, positive_set: bool, mixer_bank: Optional[np.ndarray] = None, mixer_seed: int = 0):
-        """Returns (ConfusionMatrix, errors list, total_audio_ms)."""
-        conf = ConfusionMatrix()
-        errors = []
-        total_ms = 0.0
-        # group clips into padded length buckets
+    def _batches(self, dataset, mixer_bank, mixer_seed):
         buckets = {}
+        total_ms = 0.0
         for idx in range(len(dataset)):
             sample = dataset[idx]
             n = max(len(sample.audio_data), 1)
             bucket = -(-n // self.bucket_samples) * self.bucket_samples
             buckets.setdefault(bucket, []).append((idx, sample))
             total_ms += n / self.engine.cfg.sample_rate * 1000.0
+        self.last_total_ms = total_ms
         for bucket, items in sorted(buckets.items()):
             for start in range(0, len(items), self.max_batch):
                 chunk = items[start : start + self.max_batch]
@@ -114,15 +111,45 @@ class BatchedEvaluator:
                     lengths[row] = n
                 if mixer_bank is not None:
                     audio = mix_for_eval(audio, mixer_bank, seed=mixer_seed)
-                result = self.engine.infer_batch(audio, lengths)
-                detected = np.asarray(result["detected"])
-                conf.increment_array(detected, np.full(len(chunk), positive_set))
-                for row, (_, sample) in enumerate(chunk):
-                    if bool(detected[row]) != positive_set:
-                        errors.append(
-                            (sample.metadata.transcription, int(detected[row]), int(positive_set), str(sample.metadata.path))
-                        )
-        return conf, errors, total_ms
+                yield chunk, audio, lengths
+
+    def evaluate(self, dataset, positive_set: bool, mixer_bank: Optional[np.ndarray] = None, mixer_seed: int = 0):
+        """Returns (ConfusionMatrix, errors list, total_audio_ms)."""
+        conf = ConfusionMatrix()
+        errors = []
+        for chunk, audio, lengths in self._batches(dataset, mixer_bank, mixer_seed):
+            result = self.engine.infer_batch(audio, lengths)
+            detected = np.asarray(result["detected"])
+            conf.increment_array(detected, np.full(len(chunk), positive_set))
+            for row, (_, sample) in enumerate(chunk):
+                if bool(detected[row]) != positive_set:
+                    errors.append(
+                        (sample.metadata.transcription, int(detected[row]), int(positive_set), str(sample.metadata.path))
+                    )
+        return conf, errors, self.last_total_ms
+
+    def evaluate_sweep(
+        self,
+        dataset,
+        positive_set: bool,
+        thresholds,
+        mixer_bank: Optional[np.ndarray] = None,
+        mixer_seed: int = 0,
+    ):
+        """Threshold sweep with ONE model pass: posteriors are scored once per
+        batch, then the cheap smoothing+FSM re-runs per threshold (the
+        reference re-runs full training eval per threshold,
+        ref eval_wake_word_detection.py:241-256).
+
+        Returns ({threshold: ConfusionMatrix}, total_audio_ms)."""
+        results = {float(t): ConfusionMatrix() for t in thresholds}
+        for chunk, audio, lengths in self._batches(dataset, mixer_bank, mixer_seed):
+            scores = self.engine.score_batch(audio, lengths)
+            labels = np.full(len(chunk), positive_set)
+            for t in thresholds:
+                detected = np.asarray(self.engine.detect_from_scores(scores, threshold=t)["detected"])
+                results[float(t)].increment_array(detected, labels)
+        return results, self.last_total_ms
 
 
 def run(args=None) -> dict:
