@@ -288,6 +288,15 @@ def run(args=None) -> dict:
     )
     model = create_model(args.model, num_labels=ctx.num_labels)
     spec = model_spec(args.model)
+    if SETTINGS.training.convert_static:
+        # wrap the static classifier into a per-frame sequential model
+        # (ref train.py:247-248: ConvertedStaticModel(model, 40, 10))
+        from dataclasses import replace as dc_replace
+
+        from howl_tpu.models.base import ConvertedStaticModel
+
+        model = ConvertedStaticModel(inner=model, frame_window_size=40, frame_stride_size=10)
+        spec = dc_replace(spec, is_sequential=True)
     example_audio = np.zeros((1, window_samples), np.float32)
     example_feats = featurize(example_audio, step_cfg)
     steps_per_epoch = args.steps_per_epoch or max(len(ww_train) // SETTINGS.training.batch_size, 1)

@@ -94,6 +94,18 @@ class Workspace:
         settings.load_dict(data)
         return settings
 
+    def save_config(self, training_config, training_config_path: Optional[Path] = None):
+        """Persist a TrainingConfig snapshot (ref workspace.py:83-96)."""
+        path = Path(training_config_path) if training_config_path else self.path / "training_config.json"
+        training_config.workspace_path = str(self.path)
+        path.write_text(training_config.json(indent=4))
+
+    def load_config(self, training_config_path: Optional[Path] = None):
+        from howl_tpu.config import TrainingConfig
+
+        path = Path(training_config_path) if training_config_path else self.path / "training_config.json"
+        return TrainingConfig.parse_file(path)
+
     def write_args(self, args):
         data = {k: v for k, v in vars(args).items() if not k.startswith("_")}
         (self.path / "cmd-args.json").write_text(json.dumps(data, indent=2, default=str))
