@@ -108,12 +108,19 @@ class HowlClient:
         self.source = source
         self.chunk_size = chunk_size
         self.listeners: List[Callable] = []
-        self._audio_buf: List[bytes] = []
         self._audio_buf_len = 16  # 16 x 500 samples = 500 ms window
         self._audio_float_size = 32767.0
         self._infer_detected = False
         self._running = False
         self.detections = 0
+        # native SPSC ring buffer holds the PCM stream; scoring reads the
+        # trailing window every 2 chunks (62.5 ms hop). Falls back to numpy
+        # when no C++ toolchain is available.
+        from howl_tpu.native import NativeRingBuffer
+
+        self._ring = NativeRingBuffer(capacity=chunk_size * self._audio_buf_len * 4)
+        self._chunks_since_infer = 0
+        self._chunks_total = 0
 
     # ---- construction ----
 
@@ -148,11 +155,15 @@ class HowlClient:
         """Feed one chunk; runs inference every 2 chunks once the buffer fills
         (exact reference cadence, howl_client.py:85-94). Returns True when the
         wakeword fired on this hop."""
-        self._audio_buf.append(chunk)
-        if len(self._audio_buf) != self._audio_buf_len:
-            return False
-        window = self._normalize_audio(b"".join(self._audio_buf))
-        self._audio_buf = self._audio_buf[2:]
+        self._ring.push_int16(chunk)
+        self._chunks_total += 1
+        self._chunks_since_infer += 1
+        if self._chunks_total < self._audio_buf_len:
+            return False  # ring still filling to the first 500 ms window
+        if self._chunks_total > self._audio_buf_len and self._chunks_since_infer < 2:
+            return False  # re-score every 2 chunks (62.5 ms hop)
+        self._chunks_since_infer = 0
+        window = self._ring.latest(self.chunk_size * self._audio_buf_len)
         if self.engine.ingest(window):
             if self._infer_detected:
                 return False

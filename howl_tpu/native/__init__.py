@@ -1,0 +1,177 @@
+"""ctypes bindings for the native serving runtime (native/howl_native.cpp).
+
+Builds the shared library on first use when a compiler is available; every
+entry point has a pure-Python fallback, so the package works without a
+toolchain (``available()`` reports which path is active).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libhowl_native.so"
+_lib = None
+_load_failed = False
+
+
+def _ensure_built() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except Exception:  # noqa: BLE001 — no toolchain / load failure -> fallback
+        _load_failed = True
+        return None
+    c_i64, c_f32p, c_i16p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16)
+    lib.ring_create.restype = ctypes.c_void_p
+    lib.ring_create.argtypes = [c_i64]
+    lib.ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.ring_push_i16.argtypes = [ctypes.c_void_p, c_i16p, c_i64]
+    lib.ring_push_f32.argtypes = [ctypes.c_void_p, c_f32p, c_i64]
+    lib.ring_total_written.restype = c_i64
+    lib.ring_total_written.argtypes = [ctypes.c_void_p]
+    lib.ring_latest.restype = c_i64
+    lib.ring_latest.argtypes = [ctypes.c_void_p, c_f32p, c_i64]
+    lib.pcm_i16_to_f32.argtypes = [c_i16p, c_f32p, c_i64]
+    lib.vad_leading_silence_ms.restype = c_i64
+    lib.vad_leading_silence_ms.argtypes = [c_f32p, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_float]
+    lib.wav_decode_i16.restype = c_i64
+    lib.wav_decode_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        c_i64,
+        c_f32p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _ensure_built() is not None
+
+
+class NativeRingBuffer:
+    """SPSC PCM ring buffer; ``latest(n)`` returns the trailing window
+    (zero-padded on the left while filling) — the client's scoring cadence."""
+
+    def __init__(self, capacity: int):
+        lib = _ensure_built()
+        self._lib = lib
+        self.capacity = capacity
+        if lib is not None:
+            self._handle = lib.ring_create(capacity)
+        else:  # pure-python fallback
+            self._handle = None
+            self._buf = np.zeros(capacity, np.float32)
+            self._total = 0
+
+    def push_int16(self, pcm: bytes):
+        arr = np.frombuffer(pcm, dtype="<i2")
+        if self._lib is not None:
+            self._lib.ring_push_i16(
+                self._handle, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(arr)
+            )
+        else:
+            self.push_float(arr.astype(np.float32) / 32767.0)
+
+    def push_float(self, audio: np.ndarray):
+        audio = np.ascontiguousarray(audio, np.float32)
+        if self._lib is not None:
+            self._lib.ring_push_f32(
+                self._handle, audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(audio)
+            )
+        else:
+            idx = (self._total + np.arange(len(audio))) % self.capacity
+            self._buf[idx] = audio
+            self._total += len(audio)
+
+    @property
+    def total_written(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.ring_total_written(self._handle))
+        return self._total
+
+    def latest(self, n: int) -> np.ndarray:
+        out = np.zeros(n, np.float32)
+        if self._lib is not None:
+            self._lib.ring_latest(self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+        else:
+            avail = min(self._total, n)
+            start = self._total - avail
+            idx = (start + np.arange(avail)) % self.capacity
+            out[n - avail :] = self._buf[idx]
+        return out
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and getattr(self, "_handle", None):
+            self._lib.ring_destroy(self._handle)
+            self._handle = None
+
+
+def pcm_int16_to_float(pcm: bytes) -> np.ndarray:
+    arr = np.frombuffer(pcm, dtype="<i2")
+    lib = _ensure_built()
+    if lib is None:
+        return arr.astype(np.float32) / 32767.0
+    out = np.empty(len(arr), np.float32)
+    lib.pcm_i16_to_f32(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(arr),
+    )
+    return out
+
+
+def leading_silence_ms(audio: np.ndarray, sample_rate: int = 16000, frame_ms: int = 30, threshold_db: float = -35.0) -> int:
+    lib = _ensure_built()
+    audio = np.ascontiguousarray(audio, np.float32)
+    if lib is None:
+        frame_len = int(frame_ms / 1000 * sample_rate)
+        ms = 0
+        for start in range(0, len(audio) - frame_len + 1, frame_len):
+            frame = audio[start : start + frame_len]
+            rms = float(np.sqrt(np.mean(frame**2) + 1e-12))
+            if 20 * np.log10(rms + 1e-12) > threshold_db:
+                break
+            ms += frame_ms
+        return ms
+    return int(
+        lib.vad_leading_silence_ms(
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(audio), sample_rate, frame_ms, threshold_db
+        )
+    )
+
+
+def wav_decode(data: bytes):
+    """16-bit PCM WAV bytes -> (audio float32 (channels*frames,), sr, channels);
+    None when the native lib is unavailable or the input is malformed."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    sr = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    n = lib.wav_decode_i16(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf), None, ctypes.byref(sr), ctypes.byref(ch)
+    )
+    if n < 0:
+        return None
+    out = np.empty(n, np.float32)
+    lib.wav_decode_i16(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(sr),
+        ctypes.byref(ch),
+    )
+    return out, int(sr.value), int(ch.value)

@@ -1,0 +1,155 @@
+// howl_tpu native runtime: the host-side hot path of the serving client.
+//
+// The reference delegates these roles to third-party native libraries
+// (PortAudio buffering, webrtcvad, libsndfile — SURVEY.md §2.9); here they are
+// first-party so the Python layer never touches per-sample loops:
+//
+//   * a lock-free single-producer/single-consumer PCM ring buffer feeding the
+//     62.5 ms re-scoring cadence (ref: howl/client/howl_client.py:85-94);
+//   * int16 -> float32 conversion;
+//   * frame-energy VAD (leading/trailing silence trim for alignment);
+//   * 16-bit PCM WAV decode.
+//
+// Exposed with a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------- ring buffer
+
+struct RingBuffer {
+    float* data;
+    int64_t capacity;
+    std::atomic<int64_t> write_pos;  // total samples ever written
+};
+
+RingBuffer* ring_create(int64_t capacity) {
+    auto* rb = new RingBuffer();
+    rb->data = new float[capacity]();
+    rb->capacity = capacity;
+    rb->write_pos.store(0);
+    return rb;
+}
+
+void ring_destroy(RingBuffer* rb) {
+    if (!rb) return;
+    delete[] rb->data;
+    delete rb;
+}
+
+// push int16 PCM; converts to float32 in [-1, 1]
+void ring_push_i16(RingBuffer* rb, const int16_t* pcm, int64_t n) {
+    int64_t pos = rb->write_pos.load(std::memory_order_relaxed);
+    for (int64_t i = 0; i < n; ++i) {
+        rb->data[(pos + i) % rb->capacity] = static_cast<float>(pcm[i]) / 32767.0f;
+    }
+    rb->write_pos.store(pos + n, std::memory_order_release);
+}
+
+void ring_push_f32(RingBuffer* rb, const float* pcm, int64_t n) {
+    int64_t pos = rb->write_pos.load(std::memory_order_relaxed);
+    for (int64_t i = 0; i < n; ++i) {
+        rb->data[(pos + i) % rb->capacity] = pcm[i];
+    }
+    rb->write_pos.store(pos + n, std::memory_order_release);
+}
+
+int64_t ring_total_written(const RingBuffer* rb) {
+    return rb->write_pos.load(std::memory_order_acquire);
+}
+
+// copy the most recent `n` samples into `out` (zero-padded on the left when
+// fewer than n samples have been written). Returns samples actually available.
+int64_t ring_latest(const RingBuffer* rb, float* out, int64_t n) {
+    int64_t total = rb->write_pos.load(std::memory_order_acquire);
+    int64_t avail = total < n ? total : n;
+    int64_t pad = n - avail;
+    std::memset(out, 0, sizeof(float) * pad);
+    int64_t start = total - avail;
+    for (int64_t i = 0; i < avail; ++i) {
+        out[pad + i] = rb->data[(start + i) % rb->capacity];
+    }
+    return avail;
+}
+
+// ------------------------------------------------------------- pcm conversion
+
+void pcm_i16_to_f32(const int16_t* in, float* out, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) out[i] = static_cast<float>(in[i]) / 32767.0f;
+}
+
+// ------------------------------------------------------------------ energy VAD
+
+// milliseconds of leading non-voiced audio (frame RMS below threshold_db)
+int64_t vad_leading_silence_ms(const float* audio, int64_t n, int sample_rate,
+                               int frame_ms, float threshold_db) {
+    int64_t frame_len = static_cast<int64_t>(frame_ms) * sample_rate / 1000;
+    if (frame_len <= 0) return 0;
+    int64_t ms = 0;
+    for (int64_t start = 0; start + frame_len <= n; start += frame_len) {
+        double acc = 0.0;
+        for (int64_t i = 0; i < frame_len; ++i) {
+            double v = audio[start + i];
+            acc += v * v;
+        }
+        double rms = std::sqrt(acc / static_cast<double>(frame_len) + 1e-12);
+        double db = 20.0 * std::log10(rms + 1e-12);
+        if (db > threshold_db) break;
+        ms += frame_ms;
+    }
+    return ms;
+}
+
+// -------------------------------------------------------------------- wav read
+
+// Parse a 16-bit PCM WAV held in memory. Returns sample count (frames *
+// channels) and fills *sample_rate / *channels; -1 on malformed input.
+// Call once with out=null to size the buffer, then again to fill it.
+int64_t wav_decode_i16(const uint8_t* bytes, int64_t n_bytes, float* out,
+                       int32_t* sample_rate, int32_t* channels) {
+    if (n_bytes < 44 || std::memcmp(bytes, "RIFF", 4) != 0 || std::memcmp(bytes + 8, "WAVE", 4) != 0)
+        return -1;
+    int64_t pos = 12;
+    int32_t sr = 0, ch = 0, bits = 0;
+    const uint8_t* data = nullptr;
+    int64_t data_len = 0;
+    while (pos + 8 <= n_bytes) {
+        const uint8_t* hdr = bytes + pos;
+        uint32_t chunk_len;
+        std::memcpy(&chunk_len, hdr + 4, 4);
+        if (std::memcmp(hdr, "fmt ", 4) == 0 && pos + 24 <= n_bytes) {
+            int16_t ch16, bits16;
+            int32_t sr32;
+            std::memcpy(&ch16, hdr + 10, 2);
+            std::memcpy(&sr32, hdr + 12, 4);
+            std::memcpy(&bits16, hdr + 22, 2);
+            ch = ch16;
+            sr = sr32;
+            bits = bits16;
+        } else if (std::memcmp(hdr, "data", 4) == 0) {
+            data = hdr + 8;
+            data_len = chunk_len;
+            if (pos + 8 + data_len > n_bytes) data_len = n_bytes - pos - 8;
+        }
+        pos += 8 + chunk_len + (chunk_len & 1);
+    }
+    if (!data || bits != 16 || ch <= 0 || sr <= 0) return -1;
+    int64_t n_samples = data_len / 2;
+    if (sample_rate) *sample_rate = sr;
+    if (channels) *channels = ch;
+    if (out) {
+        for (int64_t i = 0; i < n_samples; ++i) {
+            int16_t v;
+            std::memcpy(&v, data + 2 * i, 2);
+            out[i] = static_cast<float>(v) / 32768.0f;
+        }
+    }
+    return n_samples;
+}
+
+}  // extern "C"
