@@ -162,6 +162,7 @@ def run(args=None) -> dict:
         opt("--workspace", type=str, default=str(Path("workspaces") / "default")),
         opt("--load-weights", action="store_true"),
         opt("--load-last", action="store_true"),
+        opt("--resume", action="store_true", help="restore the FULL train state (incl. optimizer) and continue"),
         opt("--dataset-paths", "-i", type=str, nargs="+", default=[SETTINGS.dataset.dataset_path]),
         opt("--eval-freq", type=int, default=10),
         opt("--eval", action="store_true"),
@@ -174,7 +175,7 @@ def run(args=None) -> dict:
 
     set_random_seed(SETTINGS.training.seed)
     use_frame = SETTINGS.training.objective == "frame"
-    workspace = Workspace(Path(args.workspace), delete_existing=not args.eval)
+    workspace = Workspace(Path(args.workspace), delete_existing=not (args.eval or args.resume))
 
     Logger.heading("Loading datasets")
     ctx = InferenceContext(
@@ -311,7 +312,12 @@ def run(args=None) -> dict:
     )
     Logger.info(f"{param_count(state)} parameters")
 
-    if args.load_weights or args.eval:
+    if args.resume and workspace.has_train_state():
+        # exact resume: params + optimizer state + step counter (the reference
+        # never checkpointed optimizer state, SURVEY.md §5)
+        state = workspace.load_train_state(state)
+        Logger.info(f"resumed full train state at step {int(state.step)}")
+    elif args.load_weights or args.eval:
         variables = workspace.load_model(
             {"params": state.params, "batch_stats": state.batch_stats}, best=not args.load_last
         )
