@@ -49,9 +49,22 @@ class StreamingEngine:
         zmuv_mean: float = 0.0,
         zmuv_std: float = 1.0,
         spec: Optional[ModelSpec] = None,
+        compute_dtype=None,
     ):
+        """``compute_dtype=jnp.bfloat16`` casts features and model parameters
+        for scoring — roughly doubles MXU conv throughput on TPU; posteriors
+        and the decision logic stay f32. Detection-equivalence should be
+        validated per model (smoothing max-pooling absorbs small logit drift)."""
         self.model = model
         self.variables = variables
+        self.compute_dtype = compute_dtype
+        if compute_dtype is not None:
+            import jax as _j
+
+            self.variables = _j.tree.map(
+                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+                variables,
+            )
         self.cfg = cfg
         self.frontend = frontend
         self.zmuv_mean = float(zmuv_mean)
@@ -81,9 +94,15 @@ class StreamingEngine:
             from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
 
             mels = log_mel_spectrogram_pallas(audio, self.frontend, self.zmuv_mean, self.zmuv_std)
-            return mels[:, None, :, :]  # (B, 1, F, T)
+            feats = mels[:, None, :, :]  # (B, 1, F, T)
+            if self.compute_dtype is not None:
+                feats = feats.astype(self.compute_dtype)
+            return feats
         feats = log_mel_spectrogram(audio, self.frontend, stacked=True)  # (B, 3, F, T)
-        return (feats - self.zmuv_mean) / self.zmuv_std
+        feats = (feats - self.zmuv_mean) / self.zmuv_std
+        if self.compute_dtype is not None:
+            feats = feats.astype(self.compute_dtype)
+        return feats
 
     def _build_scorer(self):
         model, spec = self.model, self.spec
@@ -96,7 +115,7 @@ class StreamingEngine:
             if spec.is_sequential:
                 # per-frame logits over the whole clip in one pass
                 out = model.apply(variables, feats, train=False)  # (T', B, L)
-                probs = jax.nn.softmax(out, -1).transpose(1, 0, 2)  # (B, T', L)
+                probs = jax.nn.softmax(out.astype(jnp.float32), -1).transpose(1, 0, 2)  # (B, T', L)
                 return probs
             # strided window gather -> (B, n_windows, 3, F, wf)
             starts = np.arange(n_windows) * sf
@@ -111,7 +130,7 @@ class StreamingEngine:
                 logits = model.apply(variables, flat, train=False)
             else:
                 logits = model.apply(variables, flat, train=False)
-            probs = jax.nn.softmax(logits, -1).reshape(b, n_windows, -1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1).reshape(b, n_windows, -1)
             return probs
 
         return score

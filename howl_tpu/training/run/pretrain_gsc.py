@@ -63,6 +63,80 @@ def evaluate_accuracy(eval_step, state, sampler, prefix: str) -> float:
     return acc
 
 
+def run_sharded_seeds(args, mesh, model, step_cfg, example_feats, make_sampler, train_ds, dev_ds, test_ds, workspace):
+    """Train N seeds as ONE sharded program: stacked TrainStates on the mesh
+    'seed' axis, per-seed batches sharded (seed, data). The TPU-native
+    replacement for the reference's one-process-per-GPU farm (SURVEY §2.9)."""
+    import jax
+
+    from howl_tpu.parallel.seed_sweep import create_seed_states, make_seed_sweep_step, shard_seed_batch
+    from howl_tpu.training.step import make_classification_eval_step, make_classification_train_step
+
+    n_seeds = args.sharded_seeds
+    steps_per_epoch = max(len(train_ds) // SETTINGS.training.batch_size, 1)
+    states = create_seed_states(
+        model,
+        seeds=list(range(n_seeds)),
+        example_feats=example_feats,
+        mesh=mesh,
+        learning_rate=SETTINGS.training.learning_rate,
+        weight_decay=SETTINGS.training.weight_decay,
+        lr_decay=SETTINGS.training.lr_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    sweep_step = make_seed_sweep_step(make_classification_train_step(model, step_cfg))
+    eval_step = make_classification_eval_step(model, step_cfg)
+    sweep_eval = jax.jit(jax.vmap(eval_step, in_axes=(0, None, None)))
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(n_seeds))
+
+    def make_seed_samplers(epoch):
+        return [iter(make_sampler(train_ds, True, True, seed=1000 * (s + 1) + epoch)) for s in range(n_seeds)]
+
+    for epoch_idx in range(SETTINGS.training.num_epochs):
+        losses = []
+        for batches in zip(*make_seed_samplers(epoch_idx)):
+            audio = np.stack([b.audio_data for b in batches])
+            labels = np.stack([b.labels for b in batches])
+            lengths = np.stack([b.lengths for b in batches])
+            audio, labels, lengths = shard_seed_batch((audio, labels, lengths), mesh)
+            states, metrics = sweep_step(states, audio, labels, lengths, keys)
+            losses.append(np.asarray(metrics["loss"]))
+        mean_loss = np.mean(np.stack(losses), axis=0) if losses else np.full(n_seeds, np.nan)
+        Logger.info(f"epoch {epoch_idx}: per-seed loss={np.round(mean_loss, 4).tolist()}")
+
+    def sweep_accuracy(sampler, prefix):
+        corr = np.zeros(n_seeds)
+        tot = 0
+        for batch in sampler:
+            logits = np.asarray(sweep_eval(states, batch.audio_data, batch.lengths))  # (S, B, L)
+            valid = getattr(batch, "valid", len(batch.labels))
+            preds = logits.argmax(-1)[:, :valid]
+            corr += (preds == batch.labels[None, :valid]).sum(axis=1)
+            tot += valid
+        accs = corr / max(tot, 1)
+        Logger.info(f"{prefix} per-seed accuracy: {np.round(accs, 4).tolist()}")
+        return accs
+
+    dev_accs = sweep_accuracy(make_sampler(dev_ds, False, False), "Dev")
+    test_accs = sweep_accuracy(make_sampler(test_ds, False, False), "Test")
+
+    # unstack per-seed checkpoints into seed_i/ subdirectories
+    host_states = jax.device_get(states)
+    for s in range(n_seeds):
+        seed_vars = {
+            "params": jax.tree.map(lambda x: x[s], host_states.params),
+            "batch_stats": jax.tree.map(lambda x: x[s], host_states.batch_stats),
+        }
+        seed_ws = Workspace(workspace.path / f"seed_{s}", delete_existing=False)
+        seed_ws.increment_model(seed_vars, float(dev_accs[s]) / 10)
+    return {
+        "dev_acc": float(dev_accs.mean()),
+        "test_acc": float(test_accs.mean()),
+        "per_seed_dev_acc": dev_accs.tolist(),
+        "per_seed_test_acc": test_accs.tolist(),
+    }
+
+
 def run(args=None) -> dict:
     from howl_tpu.utils.platform import ensure_platform
 
@@ -77,6 +151,13 @@ def run(args=None) -> dict:
         opt("--num-devices", type=int, default=0, help="mesh data-axis size (0 = all devices)"),
         opt("--use-augment", action="store_true", default=True),
         opt("--no-augment", dest="use_augment", action="store_false"),
+        opt(
+            "--sharded-seeds",
+            type=int,
+            default=0,
+            help="train N seeds concurrently as ONE program sharded over the "
+            "mesh 'seed' axis (replaces the reference's process job farm)",
+        ),
     )
     args = apb.parser.parse_args(args)
 
@@ -90,7 +171,13 @@ def run(args=None) -> dict:
     Logger.info(f"splits: train={len(train_ds)} dev={len(dev_ds)} test={len(test_ds)}")
 
     batch_size = SETTINGS.training.batch_size
-    mesh = make_mesh(data=args.num_devices or None)
+    if args.sharded_seeds > 1:
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        mesh = make_mesh(seed=args.sharded_seeds, data=max(n_dev // args.sharded_seeds, 1))
+    else:
+        mesh = make_mesh(data=args.num_devices or None)
     Logger.info(f"mesh: {mesh}")
 
     def make_sampler(ds, shuffle, drop_last, seed=0):
@@ -115,6 +202,14 @@ def run(args=None) -> dict:
 
     model = create_model(args.model, num_labels=args.num_labels)
     example_feats = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
+
+    if args.sharded_seeds > 1 and not args.eval:
+        workspace.write_args(args)
+        workspace.save_settings(SETTINGS)
+        return run_sharded_seeds(
+            args, mesh, model, step_cfg, example_feats, make_sampler, train_ds, dev_ds, test_ds, workspace
+        )
+
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
     state = create_train_state(
         model,
