@@ -24,6 +24,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: str = None, num_processes: int = None, process_id: int = None):
+    """Join a multi-host deployment over DCN (jax.distributed). After this,
+    jax.devices() spans all hosts and make_mesh() lays the same (seed, data)
+    axes across them — program semantics are unchanged (SURVEY.md §5: the
+    reference has no distributed backend at all)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(data: int = None, seed: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     """Mesh over available devices: (seed, data) axes; data fills what's left."""
     devices = list(devices if devices is not None else jax.devices())

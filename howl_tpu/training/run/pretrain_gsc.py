@@ -148,6 +148,13 @@ def run(args=None) -> dict:
         opt("--load-weights", action="store_true"),
         opt("--eval", action="store_true"),
         opt("--num-labels", type=int, default=30),
+        opt(
+            "--silence-proportion",
+            type=float,
+            default=0.0,
+            help="inject this fraction of synthetic silence samples labeled "
+            "'__silence__' (ref HonkSpeechCommandsDataset, dataset.py:297-320)",
+        ),
         opt("--num-devices", type=int, default=0, help="mesh data-axis size (0 = all devices)"),
         opt("--use-augment", action="store_true", default=True),
         opt("--no-augment", dest="use_augment", action="store_false"),
@@ -168,6 +175,11 @@ def run(args=None) -> dict:
 
     loader = GoogleSpeechCommandsDatasetLoader(SETTINGS.training.vocab)
     train_ds, dev_ds, test_ds = loader.load_splits(Path(SETTINGS.dataset.dataset_path))
+    if args.silence_proportion > 0:
+        for ds in (train_ds, dev_ds, test_ds):
+            ds.label_map.setdefault("__silence__", len(SETTINGS.training.vocab) + 1)
+            ds.silence_proportion = args.silence_proportion
+            ds._num_silence = int(len(ds.metadata_list) * args.silence_proportion)
     Logger.info(f"splits: train={len(train_ds)} dev={len(dev_ds)} test={len(test_ds)}")
 
     batch_size = SETTINGS.training.batch_size

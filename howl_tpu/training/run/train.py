@@ -317,6 +317,8 @@ def run(args=None) -> dict:
         # never checkpointed optimizer state, SURVEY.md §5)
         state = workspace.load_train_state(state)
         Logger.info(f"resumed full train state at step {int(state.step)}")
+    elif args.resume:
+        Logger.warning(f"--resume given but {workspace.path}/train_state.flax not found; training fresh")
     elif args.load_weights or args.eval:
         variables = workspace.load_model(
             {"params": state.params, "batch_stats": state.batch_stats}, best=not args.load_last
