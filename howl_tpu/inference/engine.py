@@ -122,14 +122,29 @@ class StreamingEngine:
             idx = starts[:, None] + np.arange(wf)[None, :]  # (n_windows, wf)
             windows = feats[:, :, :, idx]  # (B, 3, F, n_windows, wf)
             windows = windows.transpose(0, 3, 1, 2, 4)  # (B, n_windows, 3, F, wf)
-            flat = windows.reshape(b * n_windows, c, f, wf)
             if spec.is_recurrent:
-                # recurrent-but-windowed models: reference re-runs them per
-                # window while carrying streaming state; here we batch windows
-                # (stateless per window) — the carry variant is scan_stream()
-                logits = model.apply(variables, flat, train=False)
-            else:
-                logits = model.apply(variables, flat, train=False)
+                # reference parity: a streaming recurrent model carries its
+                # hidden state ACROSS windows (model.streaming(), ref
+                # rnn.py:52-68 + ingest_frame). Scan windows chronologically
+                # with an explicit carry, vectorized over streams.
+                def step(carry, window_feats):
+                    logits, new_carry = model.apply(
+                        variables, window_feats, train=False, carry=carry, return_carry=True
+                    )
+                    return new_carry, logits
+
+                logits0, carry0 = model.apply(
+                    variables, windows[:, 0], train=False, carry=None, return_carry=True
+                )
+                if n_windows > 1:
+                    _, logits_rest = jax.lax.scan(step, carry0, windows.swapaxes(0, 1)[1:])
+                    logits_seq = jnp.concatenate([logits0[None], logits_rest], axis=0)
+                else:
+                    logits_seq = logits0[None]
+                probs = jax.nn.softmax(logits_seq.astype(jnp.float32), -1)  # (n_windows, B, L)
+                return probs.swapaxes(0, 1)
+            flat = windows.reshape(b * n_windows, c, f, wf)
+            logits = model.apply(variables, flat, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1).reshape(b, n_windows, -1)
             return probs
 
