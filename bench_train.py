@@ -1,0 +1,78 @@
+"""Training-throughput benchmark (supplementary to bench.py's streaming metric).
+
+Measures the fused train step (on-device augmentation + VTLP frontend + res8 +
+CE + AdamW) in f32 and bf16 mixed precision on one chip, using the chained
+methodology (state threads through iterations naturally; one host fetch at the
+end). Prints one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_config(name, model_kwargs, batch=128, window_samples=8000, iters=24):
+    import jax
+
+    from howl_tpu.models import create_model
+    from howl_tpu.ops.augment import AugmentConfig
+    from howl_tpu.ops.frontend import FrontendConfig
+    from howl_tpu.training.state import create_train_state
+    from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step
+
+    step_cfg = StepConfig(
+        frontend=FrontendConfig(n_mels=40),
+        zmuv_mean=0.0,
+        zmuv_std=1.0,
+        augment=AugmentConfig(),
+        use_vtlp=True,
+        negative_label=3,
+    )
+    model = create_model("res8", num_labels=4, **model_kwargs)
+    feats0 = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), feats0, learning_rate=0.01, lr_decay=0.99, steps_per_epoch=100
+    )
+    train_step = make_classification_train_step(model, step_cfg)
+
+    rng = np.random.default_rng(0)
+    audio = jax.device_put((rng.standard_normal((batch, window_samples)) * 0.1).astype(np.float32))
+    labels = jax.device_put(rng.integers(0, 4, batch).astype(np.int32))
+    lengths = jax.device_put(np.full(batch, window_samples, np.int32))
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile; the state carry chains iterations (true dependency)
+    state, metrics = train_step(state, audio, labels, lengths, key)
+    _ = float(np.asarray(metrics["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, audio, labels, lengths, key)
+    final_loss = float(np.asarray(metrics["loss"]))
+    elapsed = time.perf_counter() - t0
+    steps_per_sec = iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"res8_train_step_{name}",
+                "value": round(steps_per_sec, 2),
+                "unit": f"steps_per_sec_batch{batch}",
+                "examples_per_sec": round(steps_per_sec * batch, 1),
+                "final_loss": round(final_loss, 4),
+            }
+        )
+    )
+    return steps_per_sec
+
+
+def main():
+    import jax.numpy as jnp
+
+    bench_config("f32", {})
+    bench_config("bf16", {"dtype": jnp.bfloat16})
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,7 @@ seq-cnn :70) re-expressed in NHWC for the TPU conv pipeline:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -29,16 +29,19 @@ class Res8(HowlModel):
     num_maps: int = 45
     pooling: Tuple[int, int] = (3, 4)
     bn_axis_name: Optional[str] = None
+    dtype: Any = None  # e.g. jnp.bfloat16 for mixed-precision compute
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
         x = self._mels_only_nhwc(x)  # (B, T, F, 1)
-        y = nn.relu(nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, name="conv0")(x))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = nn.relu(nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name="conv0")(x))
         y = nn.avg_pool(y, self.pooling, strides=self.pooling)
         x = old_x = y
         for i in range(1, 7):
             y = nn.relu(
-                nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, name=f"conv{i}")(x)
+                nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name=f"conv{i}")(x)
             )
             if i % 2 == 0:
                 x = y + old_x
@@ -50,11 +53,13 @@ class Res8(HowlModel):
                 use_bias=False,
                 use_scale=False,
                 momentum=0.9,
+                dtype=self.dtype,
                 axis_name=self.bn_axis_name if train else None,
                 name=f"bn{i}",
             )(x)
         x = x.mean(axis=(1, 2))  # global average over (time, freq)
-        return nn.Dense(self.num_labels, name="output")(x)
+        # head + logits in f32 for stable softmax/CE
+        return nn.Dense(self.num_labels, name="output")(x.astype(jnp.float32))
 
 
 @register_model("small-cnn")

@@ -159,6 +159,11 @@ def run(args=None) -> dict:
         opt("--use-augment", action="store_true", default=True),
         opt("--no-augment", dest="use_augment", action="store_false"),
         opt(
+            "--bf16",
+            action="store_true",
+            help="mixed-precision training: bf16 activations/convs (res8), f32 params + logits",
+        ),
+        opt(
             "--sharded-seeds",
             type=int,
             default=0,
@@ -212,7 +217,14 @@ def run(args=None) -> dict:
         use_vtlp=args.use_augment,
     )
 
-    model = create_model(args.model, num_labels=args.num_labels)
+    model_kwargs = {}
+    if getattr(args, "bf16", False):
+        if args.model != "res8":
+            raise SystemExit("--bf16 is currently plumbed for res8 only")
+        import jax.numpy as jnp
+
+        model_kwargs["dtype"] = jnp.bfloat16
+    model = create_model(args.model, num_labels=args.num_labels, **model_kwargs)
     example_feats = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
 
     if args.sharded_seeds > 1 and not args.eval:

@@ -62,3 +62,26 @@ def test_pretrain_gsc_end_to_end(tmp_path, monkeypatch):
         ]
     )
     assert result_eval["test_acc"] >= 0.85
+
+
+@pytest.mark.slow
+def test_pretrain_gsc_bf16(tmp_path, monkeypatch):
+    """Mixed-precision res8 training converges on the synthetic corpus."""
+    corpus = make_gsc_corpus(tmp_path / "gsc", vocab=("yes", "no"), n_per_class=20)
+    monkeypatch.setenv("DATASET_PATH", str(corpus))
+    monkeypatch.setenv("VOCAB", '["yes","no"]')
+    monkeypatch.setenv("NUM_EPOCHS", "5")
+    monkeypatch.setenv("BATCH_SIZE", "8")
+    monkeypatch.setenv("LEARNING_RATE", "0.01")
+    monkeypatch.setenv("MAX_WINDOW_SIZE_SECONDS", "1.0")
+    monkeypatch.setenv("NUM_MELS", "40")
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.training.run.pretrain_gsc import run
+
+    result = run(
+        ["--model", "res8", "--workspace", str(tmp_path / "ws"), "--num-labels", "3",
+         "--no-augment", "--bf16"]
+    )
+    assert result["test_acc"] >= 0.85, result
