@@ -6,7 +6,6 @@
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Tuple
 
 from howl_tpu.data.common.metadata import AudioClipMetadata
 from howl_tpu.data.dataset.dataset import (

@@ -3,8 +3,8 @@ the window/stride pair passed to FrameInferenceEngine, inference.py:214-221)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)

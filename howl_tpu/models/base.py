@@ -17,7 +17,7 @@ transpose to TPU-friendly NHWC internally.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from howl_tpu.models.base import HowlModel, register_model
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import csv
 import json
-import statistics
 import sys
 from pathlib import Path
 from typing import Dict, List
@@ -51,7 +50,6 @@ def sweep_workspace(workspace_path: Path, model_name: str, dataset_paths, thresh
     Returns {set_name: {threshold: (tp, tn, fp, fn)}} plus audio hours, and
     writes the reference-format {threshold}_results.csv files.
     """
-    from howl_tpu.context import InferenceContext
     from howl_tpu.data.dataset.dataset import DatasetSplit, DatasetType, WakeWordDataset
     from howl_tpu.data.dataset.dataset_loader import RecursiveNoiseDatasetLoader, WakeWordDatasetLoader
     from howl_tpu.hub import load_workspace_engine

@@ -11,7 +11,6 @@ arrive split on the ``data`` axis and GSPMD inserts the gradient all-reduce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
