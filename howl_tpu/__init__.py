@@ -18,3 +18,19 @@ Design tenets (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+from pathlib import Path as _Path
+
+
+def root_path() -> _Path:
+    """Repo root (parent of the package; ref howl/__init__.py:5-10)."""
+    return _Path(_os.path.dirname(_os.path.realpath(__file__))).parent
+
+
+def datasets_path() -> _Path:
+    return root_path() / "datasets"
+
+
+def workspaces_path() -> _Path:
+    return root_path() / "workspaces"
