@@ -109,7 +109,6 @@ class HowlClient:
         self.chunk_size = chunk_size
         self.listeners: List[Callable] = []
         self._audio_buf_len = 16  # 16 x 500 samples = 500 ms window
-        self._audio_float_size = 32767.0
         self._infer_detected = False
         self._running = False
         self.detections = 0
@@ -147,9 +146,6 @@ class HowlClient:
         return self
 
     # ---- the loop ----
-
-    def _normalize_audio(self, audio_data: bytes) -> np.ndarray:
-        return np.frombuffer(audio_data, dtype="<i2").astype(np.float32) / self._audio_float_size
 
     def ingest_chunk(self, chunk: bytes) -> bool:
         """Feed one chunk; runs inference every 2 chunks once the buffer fills

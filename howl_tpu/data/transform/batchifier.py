@@ -105,7 +105,10 @@ class WakeWordFrameBatchifier:
                 negative_intervals.append((last_positive, sample.duration_ms))
                 a_ms, b_ms = rng.choice(negative_intervals)
                 if b_ms - a_ms > self.window_size_ms:
-                    a_ms = rng.randint(0, int(b_ms - self.window_size_ms))
+                    # sample within the interval (the reference samples from 0,
+                    # which can slide the 'negative' window back over a
+                    # positive word - a mislabeling bug we don't keep)
+                    a_ms = rng.randint(int(a_ms), int(b_ms - self.window_size_ms))
                     b_ms = a_ms + self.window_size_ms
                 a = int(max(a_ms, 0) / 1000 * self.sample_rate)
                 b = int(max(b_ms, 0) / 1000 * self.sample_rate)

@@ -180,8 +180,15 @@ def smooth_and_detect(
     # shifts k where an entry at t-k is still inside the inference window when
     # checked at t + check_offset: k*stride + check_offset <= window
     w_steps = max(int((cfg.inference_window_ms - check_offset) // stride) + 1, 1)
+    # the detection threshold is passed as a TRACED operand so threshold sweeps
+    # reuse one compiled program (cfg is a static jit arg; baking the threshold
+    # into it would recompile per threshold)
+    import dataclasses
+
+    threshold = jnp.float32(cfg.inference_threshold)
+    static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
     return _smooth_and_detect_parallel(
-        probs_seq, valid_seq, cfg, s_steps, w_steps, float(stride), float(check_offset)
+        probs_seq, valid_seq, threshold, static_cfg, s_steps, w_steps, float(stride), float(check_offset)
     )
 
 
@@ -189,6 +196,7 @@ def smooth_and_detect(
 def _smooth_and_detect_parallel(
     probs_seq: jnp.ndarray,
     valid_seq: jnp.ndarray,
+    threshold: jnp.ndarray,
     cfg: EngineConfig,
     s_steps: int,
     w_steps: int,
@@ -208,7 +216,7 @@ def _smooth_and_detect_parallel(
         smoothed = jnp.maximum(smoothed, shifted)
     max_label = smoothed.argmax(-1).astype(jnp.int32)
     max_prob = smoothed.max(-1)
-    labels = jnp.where(max_prob < cfg.inference_threshold, cfg.negative_label, max_label)
+    labels = jnp.where(max_prob < threshold, cfg.negative_label, max_label)
 
     # ---- FSM for all steps at once over trailing label windows
     seq = jnp.asarray(cfg.inference_sequence, jnp.int32)

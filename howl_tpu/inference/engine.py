@@ -73,7 +73,7 @@ class StreamingEngine:
         import jax as _jax
 
         self._use_pallas = (
-            not self.spec.uses_deltas and _jax.devices()[0].platform not in ("cpu",)
+            not self.spec.uses_deltas and _jax.devices()[0].platform == "tpu"
         )
         # window/stride in whole frames (deviation 2 above)
         hop = frontend.hop_length
@@ -181,7 +181,10 @@ class StreamingEngine:
         if lengths is not None:
             lengths = jnp.asarray(lengths)
             if self.spec.is_sequential:
-                frame_len = lengths // self.frontend.hop_length + 1
+                # map true frame counts through the model's time downsampling
+                # (seq-cnn pools time; ConvertedStaticModel strides windows)
+                frame_len = self.model.compute_length(lengths // self.frontend.hop_length + 1)
+                frame_len = jnp.clip(frame_len, 1, t_steps)
                 per_step = jnp.arange(t_steps)[None, :] < frame_len[:, None]
             else:
                 # window i valid if it has >=1000 real samples (ref :231-233)

@@ -225,8 +225,12 @@ def run(args=None) -> dict:
         )
     else:
         tokenizer = WakeWordTokenizer(ctx.vocab, ignore_oov=False)
+        # WAV-header scan: no decode of the whole corpus just to size batches
+        from howl_tpu.utils.audio_utils import wav_num_samples
+
         max_audio = max(
-            (len(ww_train[i].audio_data) for i in range(len(ww_train))), default=window_samples
+            (wav_num_samples(m.path, sample_rate) for m in ww_train.metadata_list),
+            default=window_samples,
         )
         batchifier = AudioSequenceBatchifier(
             ctx.negative_label, tokenizer, sample_rate=sample_rate, max_audio_samples=max_audio

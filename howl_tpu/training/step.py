@@ -63,7 +63,11 @@ def make_classification_train_step(model, cfg: StepConfig, noise_bank=None) -> C
         feats = featurize(audio, cfg, k_vtlp if cfg.use_vtlp else None)
         if cfg.augment is not None:
             feats = aug.spec_augment(feats, k_spec, cfg.augment)
-        model_lengths = cfg.frontend.compute_lengths(lengths) if lengths is not None else None
+        # clamp: windows shorter than n_fft would yield negative lengths,
+        # which flax RNN masking treats as all-masked (garbage logits)
+        model_lengths = (
+            jnp.maximum(cfg.frontend.compute_lengths(lengths), 1) if lengths is not None else None
+        )
 
         def loss_fn(params):
             out, mutated = state.apply_fn(
@@ -91,7 +95,9 @@ def make_classification_eval_step(model, cfg: StepConfig) -> Callable:
     @jax.jit
     def eval_step(state, audio, lengths):
         feats = featurize(audio, cfg)
-        model_lengths = cfg.frontend.compute_lengths(lengths) if lengths is not None else None
+        model_lengths = (
+            jnp.maximum(cfg.frontend.compute_lengths(lengths), 1) if lengths is not None else None
+        )
         return state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             feats,
@@ -113,7 +119,7 @@ def make_ctc_train_step(model, cfg: StepConfig, noise_bank=None) -> Callable:
         feats = featurize(audio, cfg, k_vtlp if cfg.use_vtlp else None)
         if cfg.augment is not None:
             feats = aug.spec_augment(feats, k_spec, cfg.augment)
-        frame_lengths = cfg.frontend.compute_lengths(audio_lengths)
+        frame_lengths = jnp.maximum(cfg.frontend.compute_lengths(audio_lengths), 1)
 
         def loss_fn(params):
             out, mutated = state.apply_fn(

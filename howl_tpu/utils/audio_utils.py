@@ -118,6 +118,20 @@ def stride(
         yield audio[..., start : start + window]
 
 
+def wav_num_samples(path: PathLike, target_sr: int = None) -> int:
+    """Sample count of a WAV file (at ``target_sr`` if given) from the header
+    alone — no decode. Falls back to a full decode for non-WAV inputs."""
+    try:
+        with wave.open(str(path), "rb") as f:
+            n = f.getnframes()
+            sr = f.getframerate()
+        if target_sr and sr != target_sr:
+            n = int(round(n * target_sr / sr))
+        return n
+    except Exception:  # noqa: BLE001
+        return silent_load(path, target_sr).shape[-1]
+
+
 def frame_count(num_samples: int, num_fft: int = None, hop_length: int = None, center: bool = True) -> int:
     """Number of STFT frames produced for ``num_samples`` of audio."""
     num_fft = num_fft or SETTINGS.audio_transform.num_fft

@@ -21,4 +21,7 @@ class Sha256Splitter:
         self.target_pct = target_pct
 
     def __call__(self, x) -> bool:
-        return (sha256_int(str(x)) % 100) < self.target_pct
+        # dataset.split passes AudioClipMetadata objects; bucket by the clip
+        # path so the bucket is stable across metadata changes (transcription,
+        # alignments) and matches path-keyed reference bucketing
+        return (sha256_int(str(getattr(x, "path", x))) % 100) < self.target_pct
