@@ -287,7 +287,9 @@ def run(args=None) -> dict:
         zmuv_std=zmuv.std,
         augment=AugmentConfig(sample_rate=sample_rate) if args.use_augment else None,
         use_vtlp=args.use_augment,
-        replace_prob=0.1 if noise_bank is not None else 0.0,
+        # ref train.py:215 constructs DatasetMixer with do_replace=False, so
+        # replace-mode (clear-label) mixing is OFF during training by default
+        replace_prob=0.0,
         negative_label=ctx.negative_label,
         blank_label=ctx.blank_label,
     )
