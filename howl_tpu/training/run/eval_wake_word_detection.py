@@ -29,10 +29,6 @@ from howl_tpu.settings import SETTINGS
 from howl_tpu.utils.args_utils import ArgumentParserBuilder, opt
 from howl_tpu.utils.logger import Logger
 
-EVAL_SETS = ("Dev positive", "Dev negative", "Test positive", "Test negative")
-NOISY_SETS = ("Dev noisy positive", "Dev noisy negative", "Test noisy positive", "Test noisy negative")
-
-
 def _percentiles(values: List[float]) -> dict:
     arr = np.asarray(values, float)
     return {

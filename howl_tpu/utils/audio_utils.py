@@ -114,7 +114,7 @@ def stride(
     sample_rate = sample_rate or SETTINGS.audio.sample_rate
     window = int(window_ms / 1000 * sample_rate)
     hop = int(stride_ms / 1000 * sample_rate)
-    for start in range(0, max(audio.shape[-1] - 1, 1), hop):
+    for start in range(0, max(audio.shape[-1] - 1, 0), hop):
         yield audio[..., start : start + window]
 
 
