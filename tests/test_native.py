@@ -103,3 +103,39 @@ def test_client_ring_cadence():
     # first inference at chunk 16, then chunks 18, 20, 22, 24 -> 5 calls
     assert engine.calls == 5
     assert engine.windows[0].shape == (8000,)
+
+
+def test_client_soak_long_session():
+    """60 s of continuous audio through the client: state stays bounded, the
+    cadence holds, nothing drifts or leaks."""
+    import jax
+
+    from howl_tpu.client.howl_client import HowlClient
+    from howl_tpu.inference import EngineConfig
+    from howl_tpu.inference.online import OnlineEngine
+    from howl_tpu.models import create_model
+    from howl_tpu.models.base import model_spec
+    from howl_tpu.ops.frontend import FrontendConfig
+
+    cfg = EngineConfig(
+        inference_sequence=(0,), max_window_size_ms=500.0, eval_stride_size_ms=62.5,
+        negative_label=1, num_labels=2, inference_threshold=0.99,
+    )
+    frontend = FrontendConfig(n_mels=40)
+    model = create_model("res8", num_labels=2)
+    feats0 = np.zeros((1, 3, 40, 41), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    engine = OnlineEngine(model, variables, cfg, frontend, spec=model_spec("res8"))
+
+    client = HowlClient(engine=engine, context=None)
+    rng = np.random.default_rng(0)
+    n_chunks = 960  # 60 s at 500 samples/chunk
+    for i in range(n_chunks):
+        chunk = (rng.standard_normal(500) * 1000).astype("<i2").tobytes()
+        client.ingest_chunk(chunk)
+    # cadence: first inference at chunk 16, then every 2 -> (960-16)//2 + 1
+    expected_hops = (n_chunks - 16) // 2 + 1
+    assert abs(engine.curr_time / cfg.eval_stride_size_ms - expected_hops) < 2
+    assert client._ring.total_written == n_chunks * 500
+    # detection state stayed bounded (ring shapes fixed)
+    assert engine.state.pred_ring.shape == (1, engine._s_steps, 2)
