@@ -148,6 +148,120 @@ def write_reports(report_dir: Path, per_seed: List[dict], hours: dict, threshold
                     )
 
 
+def train_seeds_sharded(args, base: Path, seeds) -> None:
+    """Train all seeds of the wakeword model as ONE mesh-sharded program
+    (frame objective): stacked TrainStates on the 'seed' axis, per-seed
+    window batches sharded (seed, data), then per-seed workspaces unstacked
+    so the eval phase consumes them exactly like sequentially-trained ones."""
+    import jax
+
+    from howl_tpu.context import InferenceContext
+    from howl_tpu.data.dataset.dataset import DatasetSplit, DatasetType, WakeWordDataset
+    from howl_tpu.data.dataset.dataset_loader import WakeWordDatasetLoader
+    from howl_tpu.data.transform.batchifier import WakeWordFrameBatchifier
+    from howl_tpu.models import create_model
+    from howl_tpu.ops.augment import AugmentConfig
+    from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+    from howl_tpu.ops.zmuv import ZmuvTransform
+    from howl_tpu.parallel.mesh import make_mesh
+    from howl_tpu.parallel.seed_sweep import create_seed_states, make_seed_sweep_step, shard_seed_batch
+    from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step
+    from howl_tpu.workspace import Workspace
+
+    if SETTINGS.training.objective != "frame":
+        raise SystemExit("--sharded-seeds currently supports the frame objective only")
+    n_seeds = len(seeds)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(seed=n_seeds, data=max(n_dev // n_seeds, 1))
+    Logger.info(f"sharded seed training on mesh {mesh}")
+
+    ctx = InferenceContext(vocab=SETTINGS.training.vocab, token_type=SETTINGS.training.token_type)
+    loader = WakeWordDatasetLoader()
+    ds_kwargs = dict(sample_rate=SETTINGS.audio.sample_rate, mono=SETTINGS.audio.use_mono, frame_labeler=ctx.labeler)
+    ww_train = WakeWordDataset([], DatasetType.TRAINING, dataset_split=DatasetSplit.TRAINING, **ds_kwargs)
+    for ds_path in args.dataset_paths:
+        train_ds, _, _ = loader.load_splits(Path(ds_path), **ds_kwargs)
+        ww_train.extend(train_ds)
+        if args.use_stitched_datasets:
+            train_s, _, _ = loader.load_splits(Path(ds_path), prefix="stitched-", **ds_kwargs)
+            ww_train.extend(train_s)
+    if len(ww_train) == 0:
+        raise SystemExit(f"no training clips under {args.dataset_paths}")
+
+    sample_rate = SETTINGS.audio.sample_rate
+    window_ms = int(SETTINGS.training.max_window_size_seconds * 1000)
+    window_samples = int(window_ms / 1000 * sample_rate)
+    frontend_cfg = FrontendConfig.from_settings()
+
+    # shared ZMUV fit (one model-independent statistic)
+    zmuv = ZmuvTransform()
+    feat_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
+    probe_bf = WakeWordFrameBatchifier(ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate, seed=0)
+    rng = np.random.default_rng(0)
+    for i in rng.permutation(len(ww_train))[:128]:
+        zmuv.update(np.asarray(feat_fn(probe_bf([ww_train[int(i)]]).audio_data)))
+
+    step_cfg = StepConfig(
+        frontend=frontend_cfg,
+        zmuv_mean=zmuv.mean,
+        zmuv_std=zmuv.std,
+        augment=AugmentConfig(sample_rate=sample_rate) if args.use_augment else None,
+        use_vtlp=args.use_augment,
+        negative_label=ctx.negative_label,
+    )
+    model = create_model(args.model, num_labels=ctx.num_labels)
+    example_feats = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
+    batch_size = SETTINGS.training.batch_size
+    steps_per_epoch = args.steps_per_epoch or max(len(ww_train) // batch_size, 1)
+    states = create_seed_states(
+        model,
+        seeds=list(seeds),
+        example_feats=example_feats,
+        mesh=mesh,
+        learning_rate=SETTINGS.training.learning_rate,
+        weight_decay=SETTINGS.training.weight_decay,
+        lr_decay=SETTINGS.training.lr_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    sweep_step = make_seed_sweep_step(make_classification_train_step(model, step_cfg))
+    keys = jax.vmap(jax.random.PRNGKey)(np.asarray(seeds))
+    batchifiers = [
+        WakeWordFrameBatchifier(ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate, seed=1000 + s)
+        for s in seeds
+    ]
+    sample_rngs = [np.random.default_rng(2000 + s) for s in seeds]
+
+    for epoch_idx in range(SETTINGS.training.num_epochs):
+        losses = []
+        for _ in range(steps_per_epoch):
+            batches = [
+                bf([ww_train[int(i)] for i in r.integers(0, len(ww_train), batch_size)])
+                for bf, r in zip(batchifiers, sample_rngs)
+            ]
+            audio = np.stack([b.audio_data for b in batches])
+            labels = np.stack([b.labels for b in batches])
+            lengths = np.stack([b.lengths for b in batches])
+            audio, labels, lengths = shard_seed_batch((audio, labels, lengths), mesh)
+            states, metrics = sweep_step(states, audio, labels, lengths, keys)
+            losses.append(np.asarray(metrics["loss"]))
+        mean_loss = np.mean(np.stack(losses), axis=0) if losses else np.full(n_seeds, np.nan)
+        Logger.info(f"epoch {epoch_idx}: per-seed loss={np.round(mean_loss, 4).tolist()}")
+
+    host_states = jax.device_get(states)
+    for idx, s in enumerate(seeds):
+        ws = Workspace(base / f"seed_{s}")
+        ws.save_model(
+            {
+                "params": jax.tree.map(lambda x: x[idx], host_states.params),
+                "batch_stats": jax.tree.map(lambda x: x[idx], host_states.batch_stats),
+            },
+            best=True,
+        )
+        ws.save_zmuv(zmuv)
+        ws.save_settings(SETTINGS)
+        ws.write_args(args)
+
+
 def run(args=None) -> dict:
     from howl_tpu.utils.platform import ensure_platform
 
@@ -163,6 +277,12 @@ def run(args=None) -> dict:
         opt("--skip-training", action="store_true", help="only evaluate existing workspaces"),
         opt("--steps-per-epoch", type=int, default=0),
         opt("--no-augment", dest="use_augment", action="store_false", default=True),
+        opt(
+            "--sharded-seeds",
+            action="store_true",
+            help="train ALL seeds as one program sharded over the mesh 'seed' "
+            "axis (frame objective; replaces sequential per-seed training)",
+        ),
     )
     args = apb.parser.parse_args(args)
 
@@ -170,30 +290,35 @@ def run(args=None) -> dict:
     thresholds = [round(t, 2) for t in np.arange(0.0, 1.000001, args.threshold_hop)]
     Logger.heading(f"wake word experiment: {args.num_models} seeds x {len(thresholds)} thresholds")
 
-    # ---- TRAIN PHASE (sequential seeds; each run is mesh-DP internally) ----
     import os
 
     from howl_tpu.training.run.train import run as train_run
 
-    seed_workspaces = []
-    for seed in range(args.num_models):
-        ws = base / f"seed_{seed}"
-        seed_workspaces.append(ws)
-        if args.skip_training or (ws / "model-best.flax").exists():
-            Logger.info(f"seed {seed}: workspace exists, skipping training")
-            continue
-        os.environ["SEED"] = str(seed)
-        SETTINGS.reset()
-        train_args = [
-            "--model", args.model, "--workspace", str(ws), "--eval-freq", "0",
-        ] + sum ([["-i", p] for p in args.dataset_paths], [])
-        if args.steps_per_epoch:
-            train_args += ["--steps-per-epoch", str(args.steps_per_epoch)]
-        if args.use_stitched_datasets:
-            train_args += ["--use-stitched-datasets"]
-        if not args.use_augment:
-            train_args += ["--no-augment"]
-        train_run(train_args)
+    seed_workspaces = [base / f"seed_{s}" for s in range(args.num_models)]
+    missing = [s for s in range(args.num_models) if not (seed_workspaces[s] / "model-best.flax").exists()]
+
+    if args.sharded_seeds and not args.skip_training and missing:
+        # ---- TRAIN PHASE (all seeds concurrently, one sharded program) ----
+        train_seeds_sharded(args, base, list(range(args.num_models)))
+    else:
+        # ---- TRAIN PHASE (sequential seeds; each run is mesh-DP internally) ----
+        for seed in range(args.num_models):
+            ws = seed_workspaces[seed]
+            if args.skip_training or (ws / "model-best.flax").exists():
+                Logger.info(f"seed {seed}: workspace exists, skipping training")
+                continue
+            os.environ["SEED"] = str(seed)
+            SETTINGS.reset()
+            train_args = [
+                "--model", args.model, "--workspace", str(ws), "--eval-freq", "0",
+            ] + sum([["-i", p] for p in args.dataset_paths], [])
+            if args.steps_per_epoch:
+                train_args += ["--steps-per-epoch", str(args.steps_per_epoch)]
+            if args.use_stitched_datasets:
+                train_args += ["--use-stitched-datasets"]
+            if not args.use_augment:
+                train_args += ["--no-augment"]
+            train_run(train_args)
 
     # ---- EVAL PHASE: one model pass per set, all thresholds ----
     per_seed = []
