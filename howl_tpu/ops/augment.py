@@ -6,10 +6,10 @@ step with explicit PRNG keys.
 Per-example application probability (0.75 default in the reference's
 AugmentModule.forward, transform.py:90-97) becomes a bernoulli mask + where.
 
-Timestretch is the one exception: resampling changes lengths, so it stays a
-host-side option (ref transform.py:146-166 rescales label timestamps; our
-window sampler reads timestamps before windows are cut, so on-device stretch
-would double-apply).
+Timestretch is the one exception: resampling changes lengths, so it runs on
+host over full clips before window sampling — see howl_tpu/ops/timestretch.py
+(phase vocoder + label-timestamp rescaling, wired via train.py
+--use-timestretch).
 """
 
 from __future__ import annotations

@@ -170,6 +170,12 @@ def run(args=None) -> dict:
         opt("--steps-per-epoch", type=int, default=0, help="0 = one pass over the train set"),
         opt("--use-augment", action="store_true", default=True),
         opt("--no-augment", dest="use_augment", action="store_false"),
+        opt(
+            "--use-timestretch",
+            action="store_true",
+            help="host-side phase-vocoder time stretch on full clips before window "
+            "sampling (ref transform.py:146-166; opt-in, rescales label timestamps)",
+        ),
     )
     args = apb.parser.parse_args(args)
 
@@ -390,6 +396,11 @@ def run(args=None) -> dict:
     key = jax.random.PRNGKey(SETTINGS.training.seed + 1)
     batch_size = SETTINGS.training.batch_size
     rng = np.random.default_rng(SETTINGS.training.seed)
+    timestretch = None
+    if args.use_timestretch and args.use_augment:
+        from howl_tpu.ops.timestretch import TimestretchSampleAugment
+
+        timestretch = TimestretchSampleAugment(seed=SETTINGS.training.seed)
 
     for epoch_idx in range(SETTINGS.training.num_epochs):
         order = rng.permutation(len(ww_train))
@@ -397,6 +408,8 @@ def run(args=None) -> dict:
         for start in range(0, steps_per_epoch * batch_size, batch_size):
             idxs = [int(order[(start + j) % len(order)]) for j in range(batch_size)]
             samples = [ww_train[i] for i in idxs]
+            if timestretch is not None:
+                samples = timestretch(samples)
             batch = batchifier(samples)
             if use_frame:
                 state, metrics = train_step(
