@@ -71,26 +71,31 @@ class SmallCnn(HowlModel):
     num_maps2: int = 64
     num_hidden_input: int = 384
     hidden_size: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
         x = self._mels_only_nhwc(x)  # (B, T, F, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         # encoder1: conv (8,16) stride (2,2) pad (4,0) -> relu -> maxpool 2 -> BN
         x = nn.Conv(
-            self.num_maps1, (8, 16), strides=(2, 2), padding=((4, 4), (0, 0)), name="conv0"
+            self.num_maps1, (8, 16), strides=(2, 2), padding=((4, 4), (0, 0)), dtype=self.dtype, name="conv0"
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
         # encoder2: conv (5,5) stride (2,1) pad 2 -> relu -> maxpool 2 -> BN
-        x = nn.Conv(self.num_maps2, (5, 5), strides=(2, 1), padding=((2, 2), (2, 2)), name="conv1")(x)
+        x = nn.Conv(
+            self.num_maps2, (5, 5), strides=(2, 1), padding=((2, 2), (2, 2)), dtype=self.dtype, name="conv1"
+        )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.BatchNorm(use_running_average=not train, name="bn2")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.hidden_size, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x))
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        return nn.Dense(self.num_labels, name="fc2")(x)
+        return nn.Dense(self.num_labels, name="fc2")(x.astype(jnp.float32))
 
 
 @register_model("seq-cnn", is_sequential=True)
@@ -101,6 +106,7 @@ class SequentialCnn(HowlModel):
     num_maps1: int = 48
     num_maps2: int = 64
     hidden_size: int = 128
+    dtype: Any = None
 
     def compute_length(self, length):
         length = (length + 2 * 10 - 20) // 1 + 1
@@ -112,19 +118,23 @@ class SequentialCnn(HowlModel):
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
         x = self._mels_only_nhwc(x)  # (B, T, F, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(
-            self.num_maps1, (20, 16), strides=(1, 2), padding=((10, 10), (0, 0)), name="conv0"
+            self.num_maps1, (20, 16), strides=(1, 2), padding=((10, 10), (0, 0)), dtype=self.dtype, name="conv0"
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
-        x = nn.Conv(self.num_maps2, (5, 5), strides=(2, 1), padding=((2, 2), (2, 2)), name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
+        x = nn.Conv(
+            self.num_maps2, (5, 5), strides=(2, 1), padding=((2, 2), (2, 2)), dtype=self.dtype, name="conv1"
+        )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.BatchNorm(use_running_average=not train, name="bn2")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(x)
         # (B, T', F', C) -> (T', B, F'*C) per-frame features
         x = jnp.transpose(x, (1, 0, 2, 3))
         x = x.reshape(x.shape[0], x.shape[1], -1)
-        x = nn.relu(nn.Dense(self.hidden_size, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x))
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        return nn.Dense(self.num_labels, name="fc2")(x)  # (T', B, L)
+        return nn.Dense(self.num_labels, name="fc2")(x.astype(jnp.float32))  # (T', B, L)

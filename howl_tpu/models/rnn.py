@@ -11,6 +11,8 @@ lowers the recurrence as `lax.scan`:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -29,19 +31,23 @@ class SimpleLstm(HowlModel):
 
     num_labels: int
     hidden_size: int = 128
+    dtype: Any = None  # e.g. jnp.bfloat16 for mixed-precision compute
 
     @nn.compact
     def __call__(self, x, lengths=None, train: bool = False, carry=None, return_carry: bool = False):
         x = _mels_time_major_to_batch(x)  # (B, T, F)
-        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name="lstm")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype), name="lstm")
         kwargs = {}
         if lengths is not None:
             kwargs["seq_lengths"] = lengths
         new_carry, _seq = rnn(x, initial_carry=carry, return_carry=True, **kwargs)
         h = new_carry[1] if isinstance(new_carry, tuple) else new_carry  # LSTM carry = (c, h)
-        out = nn.Dense(2 * self.hidden_size, name="fc1")(h)
+        out = nn.Dense(2 * self.hidden_size, dtype=self.dtype, name="fc1")(h)
         out = nn.relu(out)
-        out = nn.Dense(self.num_labels, name="fc2")(out)
+        # head + logits in f32 for stable softmax/CE
+        out = nn.Dense(self.num_labels, name="fc2")(out.astype(jnp.float32))
         return (out, new_carry) if return_carry else out
 
 
@@ -51,18 +57,21 @@ class SequentialLstm(HowlModel):
 
     num_labels: int
     hidden_size: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, lengths=None, train: bool = False, carry=None, return_carry: bool = False):
         x = _mels_time_major_to_batch(x)  # (B, T, F)
-        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name="lstm")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype), name="lstm")
         kwargs = {}
         if lengths is not None:
             kwargs["seq_lengths"] = lengths
         new_carry, seq = rnn(x, initial_carry=carry, return_carry=True, **kwargs)
-        out = nn.Dense(2 * self.hidden_size, name="fc1")(seq)
+        out = nn.Dense(2 * self.hidden_size, dtype=self.dtype, name="fc1")(seq)
         out = nn.relu(out)
-        out = nn.Dense(self.num_labels, name="fc2")(out)  # (B, T, L)
+        out = nn.Dense(self.num_labels, name="fc2")(out.astype(jnp.float32))  # (B, T, L)
         out = out.swapaxes(0, 1)  # (T, B, L) — sequential-model output layout
         return (out, new_carry) if return_carry else out
 
@@ -75,33 +84,36 @@ class SimpleGru(HowlModel):
     hidden_size: int = 96
     num_latent_channels: int = 8
     use_maxpool: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, lengths=None, train: bool = False, carry=None, return_carry: bool = False):
         feats = self._mels_only_nhwc(x)  # (B, T, F, 1)
+        if self.dtype is not None:
+            feats = feats.astype(self.dtype)
         # conv1 3x3, time pad 3 / freq pad 1 (ref pads (1,3) in (F,T) layout)
-        h = nn.Conv(self.num_latent_channels, (3, 3), padding=((3, 3), (1, 1)), name="conv1")(feats)
-        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = nn.Conv(self.num_latent_channels, (3, 3), padding=((3, 3), (1, 1)), dtype=self.dtype, name="conv1")(feats)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         if self.use_maxpool:
             h = nn.max_pool(h, (2, 1), strides=(2, 1))  # halve time
-        h = nn.Conv(1, (3, 3), padding="SAME", name="conv2")(h)
+        h = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         h = nn.relu(h)
-        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(h)
         seq = h[..., 0]  # (B, T', F)
         if lengths is not None:
             lengths = lengths + 4
             if self.use_maxpool:
                 lengths = lengths // 2
-        rnn = nn.RNN(nn.GRUCell(self.hidden_size), name="gru")
+        rnn = nn.RNN(nn.GRUCell(self.hidden_size, dtype=self.dtype), name="gru")
         kwargs = {}
         if lengths is not None:
             kwargs["seq_lengths"] = lengths
         new_carry, _seq = rnn(seq, initial_carry=carry, return_carry=True, **kwargs)
-        out = nn.Dense(2 * self.hidden_size, name="fc1")(new_carry)
+        out = nn.Dense(2 * self.hidden_size, dtype=self.dtype, name="fc1")(new_carry)
         out = nn.relu(out)
         out = nn.Dropout(0.2, deterministic=not train)(out)
-        out = nn.Dense(self.num_labels, name="fc2")(out)
+        out = nn.Dense(self.num_labels, name="fc2")(out.astype(jnp.float32))
         return (out, new_carry) if return_carry else out
 
 
@@ -112,17 +124,20 @@ class LASEncoder(nn.Module):
     hidden_size: int = 96
     num_latent_channels: int = 8
     use_maxpool: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, lengths=None, train: bool = False):
         feats = jnp.transpose(x, (0, 3, 2, 1))  # (B, C, F, T) -> (B, T, F, C)
-        h = nn.Conv(self.num_latent_channels, (3, 3), padding=((2, 2), (2, 2)), name="conv1")(feats)
-        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        if self.dtype is not None:
+            feats = feats.astype(self.dtype)
+        h = nn.Conv(self.num_latent_channels, (3, 3), padding=((2, 2), (2, 2)), dtype=self.dtype, name="conv1")(feats)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         if self.use_maxpool:
             h = nn.max_pool(h, (2, 1), strides=(2, 1))
-        h = nn.Conv(self.num_latent_channels, (3, 3), padding=((2, 2), (2, 2)), name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        h = nn.Conv(self.num_latent_channels, (3, 3), padding=((2, 2), (2, 2)), dtype=self.dtype, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)
         if self.use_maxpool:
             h = nn.max_pool(h, (2, 1), strides=(2, 1))
@@ -135,8 +150,13 @@ class LASEncoder(nn.Module):
             lengths = (lengths - 3 + 4) // 1 + 1
             if self.use_maxpool:
                 lengths = lengths // 2
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name="lstm_fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name="lstm_bwd", reverse=True, keep_order=True)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype), name="lstm_fwd")
+        bwd = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype),
+            name="lstm_bwd",
+            reverse=True,
+            keep_order=True,
+        )
         bi = nn.Bidirectional(fwd, bwd, name="bilstm")
         kwargs = {"seq_lengths": lengths} if lengths is not None else {}
         seq_out = bi(seq, **kwargs)  # (B, T', 2*hidden)
@@ -181,12 +201,15 @@ class LASClassifier(HowlModel):
     dnn_size: int = 256
     dropout: float = 0.1
     use_maxpool: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, lengths=None, train: bool = False):
         seq, out_lengths = LASEncoder(
-            self.hidden_size, self.num_latent_channels, self.use_maxpool, name="encoder"
+            self.hidden_size, self.num_latent_channels, self.use_maxpool, dtype=self.dtype, name="encoder"
         )(x, lengths, train)
+        # attention softmax + head in f32 for numerical stability
+        seq = seq.astype(jnp.float32)
         mask = None
         if out_lengths is not None:
             T = seq.shape[1]

@@ -150,32 +150,41 @@ def write_reports(report_dir: Path, per_seed: List[dict], hours: dict, threshold
 
 def train_seeds_sharded(args, base: Path, seeds) -> None:
     """Train all seeds of the wakeword model as ONE mesh-sharded program
-    (frame objective): stacked TrainStates on the 'seed' axis, per-seed
-    window batches sharded (seed, data), then per-seed workspaces unstacked
-    so the eval phase consumes them exactly like sequentially-trained ones."""
+    (frame OR ctc objective — the reference harness sweeps any objective via
+    env vars, ref eval_wake_word_detection.py:187-207): stacked TrainStates on
+    the 'seed' axis, per-seed batches sharded (seed, data), then per-seed
+    workspaces unstacked so the eval phase consumes them exactly like
+    sequentially-trained ones."""
     import jax
 
     from howl_tpu.context import InferenceContext
+    from howl_tpu.data.common.tokenizer import WakeWordTokenizer
     from howl_tpu.data.dataset.dataset import DatasetSplit, DatasetType, WakeWordDataset
     from howl_tpu.data.dataset.dataset_loader import WakeWordDatasetLoader
-    from howl_tpu.data.transform.batchifier import WakeWordFrameBatchifier
+    from howl_tpu.data.transform.batchifier import AudioSequenceBatchifier, WakeWordFrameBatchifier
     from howl_tpu.models import create_model
     from howl_tpu.ops.augment import AugmentConfig
     from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
     from howl_tpu.ops.zmuv import ZmuvTransform
     from howl_tpu.parallel.mesh import make_mesh
     from howl_tpu.parallel.seed_sweep import create_seed_states, make_seed_sweep_step, shard_seed_batch
-    from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step
+    from howl_tpu.training.step import (
+        StepConfig,
+        featurize,
+        make_classification_train_step,
+        make_ctc_train_step,
+    )
     from howl_tpu.workspace import Workspace
 
-    if SETTINGS.training.objective != "frame":
-        raise SystemExit("--sharded-seeds currently supports the frame objective only")
+    use_frame = SETTINGS.training.objective == "frame"
     n_seeds = len(seeds)
     n_dev = len(jax.devices())
     mesh = make_mesh(seed=n_seeds, data=max(n_dev // n_seeds, 1))
     Logger.info(f"sharded seed training on mesh {mesh}")
 
-    ctx = InferenceContext(vocab=SETTINGS.training.vocab, token_type=SETTINGS.training.token_type)
+    ctx = InferenceContext(
+        vocab=SETTINGS.training.vocab, token_type=SETTINGS.training.token_type, use_blank=not use_frame
+    )
     loader = WakeWordDatasetLoader()
     ds_kwargs = dict(sample_rate=SETTINGS.audio.sample_rate, mono=SETTINGS.audio.use_mono, frame_labeler=ctx.labeler)
     ww_train = WakeWordDataset([], DatasetType.TRAINING, dataset_split=DatasetSplit.TRAINING, **ds_kwargs)
@@ -193,10 +202,26 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
     window_samples = int(window_ms / 1000 * sample_rate)
     frontend_cfg = FrontendConfig.from_settings()
 
+    def make_batchifier(seed=None):
+        if use_frame:
+            return WakeWordFrameBatchifier(
+                ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate, seed=seed
+            )
+        from howl_tpu.utils.audio_utils import wav_num_samples
+
+        max_audio = max(
+            (wav_num_samples(m.path, sample_rate) for m in ww_train.metadata_list),
+            default=window_samples,
+        )
+        tokenizer = WakeWordTokenizer(ctx.vocab, ignore_oov=False)
+        return AudioSequenceBatchifier(
+            ctx.negative_label, tokenizer, sample_rate=sample_rate, max_audio_samples=max_audio
+        )
+
     # shared ZMUV fit (one model-independent statistic)
     zmuv = ZmuvTransform()
     feat_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
-    probe_bf = WakeWordFrameBatchifier(ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate, seed=0)
+    probe_bf = make_batchifier(seed=0)
     rng = np.random.default_rng(0)
     for i in rng.permutation(len(ww_train))[:128]:
         zmuv.update(np.asarray(feat_fn(probe_bf([ww_train[int(i)]]).audio_data)))
@@ -208,9 +233,11 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
         augment=AugmentConfig(sample_rate=sample_rate) if args.use_augment else None,
         use_vtlp=args.use_augment,
         negative_label=ctx.negative_label,
+        blank_label=ctx.blank_label,
     )
     model = create_model(args.model, num_labels=ctx.num_labels)
-    example_feats = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
+    example_samples = window_samples if use_frame else probe_bf.max_audio_samples
+    example_feats = featurize(np.zeros((1, example_samples), np.float32), step_cfg)
     batch_size = SETTINGS.training.batch_size
     steps_per_epoch = args.steps_per_epoch or max(len(ww_train) // batch_size, 1)
     states = create_seed_states(
@@ -223,12 +250,12 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
         lr_decay=SETTINGS.training.lr_decay,
         steps_per_epoch=steps_per_epoch,
     )
-    sweep_step = make_seed_sweep_step(make_classification_train_step(model, step_cfg))
+    per_model_step = (
+        make_classification_train_step(model, step_cfg) if use_frame else make_ctc_train_step(model, step_cfg)
+    )
+    sweep_step = make_seed_sweep_step(per_model_step)
     keys = jax.vmap(jax.random.PRNGKey)(np.asarray(seeds))
-    batchifiers = [
-        WakeWordFrameBatchifier(ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate, seed=1000 + s)
-        for s in seeds
-    ]
+    batchifiers = [make_batchifier(seed=1000 + s) for s in seeds]
     sample_rngs = [np.random.default_rng(2000 + s) for s in seeds]
 
     for epoch_idx in range(SETTINGS.training.num_epochs):
@@ -240,9 +267,17 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
             ]
             audio = np.stack([b.audio_data for b in batches])
             labels = np.stack([b.labels for b in batches])
-            lengths = np.stack([b.lengths for b in batches])
-            audio, labels, lengths = shard_seed_batch((audio, labels, lengths), mesh)
-            states, metrics = sweep_step(states, audio, labels, lengths, keys)
+            if use_frame:
+                lengths = np.stack([b.lengths for b in batches])
+                audio, labels, lengths = shard_seed_batch((audio, labels, lengths), mesh)
+                states, metrics = sweep_step(states, audio, labels, lengths, keys)
+            else:
+                audio_lengths = np.stack([b.audio_lengths for b in batches])
+                label_lengths = np.stack([b.label_lengths for b in batches])
+                audio, labels, audio_lengths, label_lengths = shard_seed_batch(
+                    (audio, labels, audio_lengths, label_lengths), mesh
+                )
+                states, metrics = sweep_step(states, audio, labels, audio_lengths, label_lengths, keys)
             losses.append(np.asarray(metrics["loss"]))
         mean_loss = np.mean(np.stack(losses), axis=0) if losses else np.full(n_seeds, np.nan)
         Logger.info(f"epoch {epoch_idx}: per-seed loss={np.round(mean_loss, 4).tolist()}")
@@ -281,7 +316,7 @@ def run(args=None) -> dict:
             "--sharded-seeds",
             action="store_true",
             help="train ALL seeds as one program sharded over the mesh 'seed' "
-            "axis (frame objective; replaces sequential per-seed training)",
+            "axis (frame or ctc objective; replaces sequential per-seed training)",
         ),
     )
     args = apb.parser.parse_args(args)

@@ -161,7 +161,7 @@ def run(args=None) -> dict:
         opt(
             "--bf16",
             action="store_true",
-            help="mixed-precision training: bf16 activations/convs (res8), f32 params + logits",
+            help="mixed-precision training: bf16 activations, f32 params + logits (all model families)",
         ),
         opt(
             "--sharded-seeds",
@@ -219,8 +219,6 @@ def run(args=None) -> dict:
 
     model_kwargs = {}
     if getattr(args, "bf16", False):
-        if args.model != "res8":
-            raise SystemExit("--bf16 is currently plumbed for res8 only")
         import jax.numpy as jnp
 
         model_kwargs["dtype"] = jnp.bfloat16

@@ -1,0 +1,143 @@
+"""CTC objective in the sharded seed sweep + bf16 decision parity per family.
+
+Round-2 items from VERDICT.md: the flagship N-seed harness must sweep ANY
+objective (the reference just sets env vars, ref
+training/run/eval_wake_word_detection.py:187-207), and bf16 serving must be
+validated per model family, not just res8.
+"""
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from tests.fixtures import make_wakeword_corpus
+
+
+@pytest.mark.slow
+def test_ctc_sharded_seed_sweep(tmp_path, monkeypatch):
+    """seq-lstm + CTC through train_seeds_sharded on the 8-device mesh."""
+    corpus = make_wakeword_corpus(tmp_path / "ww", vocab=("hey", "fire", "fox"), n_positive=6, n_negative=6)
+    monkeypatch.setenv("VOCAB", '["hey","fire","fox"]')
+    monkeypatch.setenv("INFERENCE_SEQUENCE", "[0,1,2]")
+    monkeypatch.setenv("OBJECTIVE", "ctc")
+    monkeypatch.setenv("TOKEN_TYPE", "word")
+    monkeypatch.setenv("NUM_EPOCHS", "2")
+    monkeypatch.setenv("BATCH_SIZE", "4")
+    monkeypatch.setenv("LEARNING_RATE", "0.001")
+    monkeypatch.setenv("NUM_MELS", "40")
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.training.run.eval_wake_word_detection import train_seeds_sharded
+
+    base = tmp_path / "exp"
+    args = argparse.Namespace(
+        model="seq-lstm",
+        dataset_paths=[str(corpus)],
+        use_stitched_datasets=False,
+        use_augment=False,
+        steps_per_epoch=2,
+    )
+    train_seeds_sharded(args, base, seeds=[0, 1])
+
+    # per-seed workspaces exist, load back into seq-lstm, and differ
+    from howl_tpu.context import InferenceContext
+    from howl_tpu.models import create_model
+    from howl_tpu.workspace import Workspace
+
+    ctx = InferenceContext(vocab=["hey", "fire", "fox"], token_type="word", use_blank=True)
+    model = create_model("seq-lstm", num_labels=ctx.num_labels)
+    feats0 = np.zeros((1, 3, 40, 81), np.float32)
+    template = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    loaded = []
+    for s in (0, 1):
+        ws = Workspace(base / f"seed_{s}", delete_existing=False)
+        assert (Path(ws.path) / "model-best.flax").exists()
+        loaded.append(ws.load_model(template, best=True))
+    k0 = np.asarray(jax.tree.leaves(loaded[0]["params"])[0])
+    k1 = np.asarray(jax.tree.leaves(loaded[1]["params"])[0])
+    assert np.isfinite(k0).all() and np.isfinite(k1).all()
+    assert not np.allclose(k0, k1), "seed models should differ"
+
+
+_HEAD_LAYER = {
+    "res8": "output",
+    "lstm": "fc2",
+    "gru": "fc2",
+    "las": "fc2",
+    "mobilenet": "classifier",
+    "small-cnn": "fc2",
+}
+
+
+@pytest.mark.parametrize("name", ["res8", "lstm", "gru", "las", "mobilenet", "small-cnn"])
+def test_bf16_decision_parity_per_family(name, rng):
+    """bf16-cast serving produces the same detections/labels as f32 for every
+    static & recurrent family (the smoothing max absorbs sub-threshold drift).
+
+    The head layer is scaled up after init so posteriors are decisive, like a
+    trained model's — untrained nets emit near-tied posteriors whose argmax is
+    genuinely unstable at any precision (bf16 parity on a REAL trained model
+    is separately asserted end-to-end for res8 in test_train_gsc/bench)."""
+    import jax.numpy as jnp
+
+    from howl_tpu.inference import EngineConfig, StreamingEngine
+    from howl_tpu.models import create_model
+    from howl_tpu.models.base import model_spec
+    from howl_tpu.ops.frontend import FrontendConfig
+    from howl_tpu.training.step import StepConfig, featurize
+
+    cfg = EngineConfig(
+        inference_sequence=(0, 1),
+        max_window_size_ms=500.0,
+        eval_stride_size_ms=125.0,
+        negative_label=2,
+        num_labels=3,
+        inference_threshold=0.4,
+    )
+    frontend = FrontendConfig(n_mels=40)
+    model = create_model(name, num_labels=3)
+    feats0 = featurize(
+        np.zeros((1, 8000), np.float32),
+        StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * 60.0 if any(getattr(k, "key", None) == _HEAD_LAYER[name] for k in path) else x,
+        variables,
+    )
+    audio = (rng.standard_normal((4, 16000)) * 0.1).astype(np.float32)
+
+    f32 = StreamingEngine(model, variables, cfg, frontend, spec=model_spec(name)).infer_batch(audio)
+    bf16 = StreamingEngine(
+        model, variables, cfg, frontend, spec=model_spec(name), compute_dtype=jnp.bfloat16
+    ).infer_batch(audio)
+    np.testing.assert_array_equal(np.asarray(f32["detected"]), np.asarray(bf16["detected"]))
+    np.testing.assert_array_equal(np.asarray(f32["labels"]), np.asarray(bf16["labels"]))
+
+
+@pytest.mark.parametrize("name", ["lstm", "mobilenet"])
+def test_bf16_training_smoke(name):
+    """dtype=bf16 models train: finite loss, f32 params preserved."""
+    import jax.numpy as jnp
+
+    from howl_tpu.models import create_model
+    from howl_tpu.ops.frontend import FrontendConfig
+    from howl_tpu.training.state import create_train_state
+    from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step
+
+    frontend = FrontendConfig(n_mels=40)
+    step_cfg = StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False)
+    model = create_model(name, num_labels=3, dtype=jnp.bfloat16)
+    audio = np.random.default_rng(0).standard_normal((4, 8000)).astype(np.float32) * 0.1
+    feats0 = featurize(audio[:1], step_cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), feats0, learning_rate=1e-3)
+    train_step = make_classification_train_step(model, step_cfg)
+    labels = np.array([0, 1, 2, 0], np.int32)
+    lengths = np.full(4, 8000, np.int32)
+    state, metrics = train_step(state, audio, labels, lengths, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(x.dtype == np.float32 for x in jax.tree.leaves(state.params))
