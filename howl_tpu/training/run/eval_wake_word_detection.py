@@ -325,8 +325,6 @@ def run(args=None) -> dict:
     thresholds = [round(t, 2) for t in np.arange(0.0, 1.000001, args.threshold_hop)]
     Logger.heading(f"wake word experiment: {args.num_models} seeds x {len(thresholds)} thresholds")
 
-    import os
-
     from howl_tpu.training.run.train import run as train_run
 
     seed_workspaces = [base / f"seed_{s}" for s in range(args.num_models)]
@@ -342,10 +340,8 @@ def run(args=None) -> dict:
             if args.skip_training or (ws / "model-best.flax").exists():
                 Logger.info(f"seed {seed}: workspace exists, skipping training")
                 continue
-            os.environ["SEED"] = str(seed)
-            SETTINGS.reset()
             train_args = [
-                "--model", args.model, "--workspace", str(ws), "--eval-freq", "0",
+                "--model", args.model, "--workspace", str(ws), "--eval-freq", "0", "--seed", str(seed),
             ] + sum([["-i", p] for p in args.dataset_paths], [])
             if args.steps_per_epoch:
                 train_args += ["--steps-per-epoch", str(args.steps_per_epoch)]

@@ -18,10 +18,12 @@ with the numeric path redesigned for TPU:
 from __future__ import annotations
 
 import sys
+from functools import partial
 from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from howl_tpu.context import InferenceContext
@@ -65,21 +67,25 @@ def build_noise_bank(noise_ds, window_samples: int, max_windows: int = 512) -> O
     return np.stack(windows).astype(np.float32)
 
 
-def mix_for_eval(audio: np.ndarray, noise_bank: np.ndarray, seed: int = 0, strength: float = 0.2, prob: float = 0.75):
-    """Deterministic noisy-eval mixing (ref train.py:219-220 seeded DatasetMixer)."""
-    rng = np.random.default_rng(seed)
-    b, n = audio.shape
-    out = audio.copy()
-    for i in range(b):
-        if rng.random() > prob:
-            continue
-        row = rng.integers(0, noise_bank.shape[0])
-        noise = noise_bank[row]
-        reps = -(-n // len(noise))
-        tiled = np.tile(noise, reps)[:n]
-        alpha = rng.random() * strength
-        out[i] = audio[i] * (1 - alpha) + tiled * alpha
-    return out
+@partial(jax.jit, static_argnames=("strength", "prob"))
+def _mix_for_eval_device(audio, noise_bank, key, strength: float, prob: float):
+    batch, n = audio.shape
+    k_apply, k_row, k_alpha = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k_apply, prob, (batch,))
+    rows = jax.random.randint(k_row, (batch,), 0, noise_bank.shape[0])
+    reps = -(-n // noise_bank.shape[1])
+    tiled = jnp.tile(noise_bank[rows], (1, reps))[:, :n]
+    alpha = jnp.where(apply, jax.random.uniform(k_alpha, (batch,)) * strength, 0.0)[:, None]
+    return audio * (1.0 - alpha) + tiled * alpha
+
+
+def mix_for_eval(audio, noise_bank, seed: int = 0, strength: float = 0.2, prob: float = 0.75, fold: int = 0):
+    """Deterministic noisy-eval mixing ON DEVICE (ref train.py:219-220 seeded
+    DatasetMixer). Vectorized over the batch — the round-1 host loop mixed
+    per-row in Python, which dominated eval at hey-snips scale (13,943
+    negatives). ``fold`` varies the key across batches of one eval pass."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), fold)
+    return _mix_for_eval_device(jnp.asarray(audio), jnp.asarray(noise_bank), key, float(strength), float(prob))
 
 
 class BatchedEvaluator:
@@ -110,7 +116,7 @@ class BatchedEvaluator:
                     audio[row, :n] = sample.audio_data[:n]
                     lengths[row] = n
                 if mixer_bank is not None:
-                    audio = mix_for_eval(audio, mixer_bank, seed=mixer_seed)
+                    audio = mix_for_eval(audio, mixer_bank, seed=mixer_seed, fold=start)
                 yield chunk, audio, lengths
 
     def evaluate(self, dataset, positive_set: bool, mixer_bank: Optional[np.ndarray] = None, mixer_seed: int = 0):
@@ -170,6 +176,7 @@ def run(args=None) -> dict:
         opt("--steps-per-epoch", type=int, default=0, help="0 = one pass over the train set"),
         opt("--use-augment", action="store_true", default=True),
         opt("--no-augment", dest="use_augment", action="store_false"),
+        opt("--seed", type=int, default=None, help="override SETTINGS.training.seed (explicit plumbing; no env mutation)"),
         opt(
             "--use-timestretch",
             action="store_true",
@@ -178,6 +185,8 @@ def run(args=None) -> dict:
         ),
     )
     args = apb.parser.parse_args(args)
+    if args.seed is not None:
+        SETTINGS.training.seed = args.seed
 
     set_random_seed(SETTINGS.training.seed)
     use_frame = SETTINGS.training.objective == "frame"

@@ -119,6 +119,12 @@ class Workspace:
             json.dumps({"time": time.time(), "step": int(step), "name": name, "value": float(value)}) + "\n"
         )
         self._metrics_file.flush()
+        # TensorBoard-readable mirror in logs/ (ref workspace.py:29 SummaryWriter)
+        if getattr(self, "_tb_writer", None) is None:
+            from howl_tpu.utils.tb_events import EventFileWriter
+
+            self._tb_writer = EventFileWriter(self.path / "logs")
+        self._tb_writer.add_scalar(name, value, step)
 
     def summary(self) -> dict:
         """Latest value per metric name."""
