@@ -53,7 +53,14 @@ class WakeWordFrameBatchifier:
         eps_ms: int = 20,
         pad_to_window: bool = True,
         seed: int = None,
+        context_samples: int = 0,
     ):
+        """``context_samples > 0`` emits trunk-mode CONTEXT segments: each
+        example is window + margin audio on both sides (real clip audio where
+        available, zeros past the clip edge), with the labeled window pinned
+        at offset ``context_samples``. The fused-trunk res8 training forward
+        pools exactly that central span (Res8.windowed_logits), matching the
+        engine's clip-level serving computation."""
         self.negative_label = negative_label
         self.positive_sample_prob = positive_sample_prob
         self.window_size_ms = window_size_ms
@@ -61,6 +68,7 @@ class WakeWordFrameBatchifier:
         self.positive_delta_ms = positive_delta_ms
         self.eps_ms = eps_ms
         self.pad_to_window = pad_to_window
+        self.context_samples = int(context_samples)
         self.rng = random.Random(seed) if seed is not None else random
 
     @property
@@ -69,16 +77,16 @@ class WakeWordFrameBatchifier:
 
     def __call__(self, samples: Sequence[Sample]) -> ClassificationBatch:
         rng = self.rng
-        cut: List[tuple] = []  # (label, audio_slice)
+        cut: List[tuple] = []  # (label, clip_audio, a, b)
         for sample in samples:
             ts_map = sample.label_data.timestamp_label_map if sample.label_data else {}
+            clip = sample.audio_data
             if not ts_map:
                 # unlabeled/negative clip: random slice up to one window
-                audio = sample.audio_data
-                if audio.shape[-1] > self.window_samples:
-                    a = rng.randint(0, audio.shape[-1] - self.window_samples)
-                    audio = audio[..., a : a + self.window_samples]
-                cut.append((self.negative_label, audio))
+                a = 0
+                if clip.shape[-1] > self.window_samples:
+                    a = rng.randint(0, clip.shape[-1] - self.window_samples)
+                cut.append((self.negative_label, clip, a, min(a + self.window_samples, clip.shape[-1])))
                 continue
 
             select_negative = rng.random() > self.positive_sample_prob
@@ -90,7 +98,7 @@ class WakeWordFrameBatchifier:
                 if b - a < 0:
                     select_negative = True
                 else:
-                    cut.append((label, sample.audio_data[..., a:b]))
+                    cut.append((label, clip, a, min(b, clip.shape[-1])))
 
             if select_negative:
                 positive_intervals = sorted(
@@ -112,15 +120,31 @@ class WakeWordFrameBatchifier:
                     b_ms = a_ms + self.window_size_ms
                 a = int(max(a_ms, 0) / 1000 * self.sample_rate)
                 b = int(max(b_ms, 0) / 1000 * self.sample_rate)
-                cut.append((self.negative_label, sample.audio_data[..., a:b]))
+                a = min(a, clip.shape[-1])
+                b = min(max(b, a), min(a + self.window_samples, clip.shape[-1]))
+                cut.append((self.negative_label, clip, a, b))
 
         labels = np.array([c[0] for c in cut], np.int32)
-        placed = [
-            _place_in_window(c[1], self.window_samples, rng, rand_append=True) for c in cut
-        ]
+        if self.context_samples > 0:
+            placed = [self._place_with_context(clip, a, b) for _, clip, a, b in cut]
+        else:
+            placed = [
+                _place_in_window(clip[..., a:b], self.window_samples, rng, rand_append=True)
+                for _, clip, a, b in cut
+            ]
         audio = np.stack([p[0] for p in placed])
         lengths = np.array([p[1] for p in placed], np.int32)
         return ClassificationBatch(audio, labels, lengths)
+
+    def _place_with_context(self, clip: np.ndarray, a: int, b: int) -> tuple:
+        """Window [a, b) pinned at offset ctx inside a (window + 2*ctx) segment,
+        surrounded by real clip audio where the clip extends that far."""
+        ctx = self.context_samples
+        seg = np.zeros(self.window_samples + 2 * ctx, np.float32)
+        src_lo = max(a - ctx, 0)
+        src_hi = min(b + ctx, clip.shape[-1])
+        seg[src_lo - a + ctx : src_hi - a + ctx] = clip[..., src_lo:src_hi]
+        return seg, b - a
 
 
 class AudioSequenceBatchifier:

@@ -50,11 +50,24 @@ class StreamingEngine:
         zmuv_std: float = 1.0,
         spec: Optional[ModelSpec] = None,
         compute_dtype=None,
+        fused_trunk: Optional[bool] = None,
     ):
         """``compute_dtype=jnp.bfloat16`` casts features and model parameters
         for scoring — roughly doubles MXU conv throughput on TPU; posteriors
         and the decision logic stay f32. Detection-equivalence should be
-        validated per model (smoothing max-pooling absorbs small logit drift)."""
+        validated per model (smoothing max-pooling absorbs small logit drift).
+
+        ``fused_trunk`` (default: auto for models with ``supports_trunk``,
+        i.e. res8) runs the conv trunk ONCE over the whole clip and derives
+        each window's logits by windowed average pooling over the trunk
+        output via cumulative sums — an ~8x FLOP cut over re-convolving
+        41-frame windows every 5 frames, and it never materializes the
+        (B, n_windows, F, wf) window tensor in HBM. Window spans are rounded
+        to the trunk's pooled-frame grid (<=1.5 feature frames of start
+        jitter) and interior windows see real clip context instead of the
+        isolated window's zero padding; train with --fused-trunk (trunk-mode
+        context windows) for exact train/serve alignment. Pass
+        ``fused_trunk=False`` to force the legacy per-window mega-batch."""
         self.model = model
         self.variables = variables
         self.compute_dtype = compute_dtype
@@ -81,6 +94,11 @@ class StreamingEngine:
         stride_samples = cfg.eval_stride_size_ms / 1000 * cfg.sample_rate
         self.stride_frames = max(1, round(stride_samples / hop))
         self.stride_ms = self.stride_frames * hop / cfg.sample_rate * 1000.0
+        self.fused_trunk = (
+            (self.spec.supports_trunk and not self.spec.is_sequential and not self.spec.is_recurrent)
+            if fused_trunk is None
+            else bool(fused_trunk)
+        )
         self._score = self._build_scorer()
 
     # ---- scoring ----
@@ -107,6 +125,29 @@ class StreamingEngine:
     def _build_scorer(self):
         model, spec = self.model, self.spec
         wf, sf = self.window_frames, self.stride_frames
+
+        if self.fused_trunk:
+            pool_t = getattr(model, "pooling", (3, 4))[0]
+            span = max(wf // pool_t, 1)
+
+            @partial(jax.jit, static_argnames=("n_windows",))
+            def score_fused(variables, audio, n_windows):
+                feats = self._featurize(audio)  # (B, C, F, T)
+                trunk = model.apply(variables, feats, train=False, method="trunk_features")
+                # f32 before the cumsum: bf16 running sums over long clips
+                # would leak precision into every window mean
+                tf = trunk.astype(jnp.float32).mean(axis=2)  # (B, T', maps)
+                tp = tf.shape[1]
+                eff = min(span, tp)
+                csum = jnp.concatenate([jnp.zeros_like(tf[:, :1]), jnp.cumsum(tf, axis=1)], axis=1)
+                starts = np.clip(
+                    np.round(np.arange(n_windows) * sf / pool_t).astype(np.int32), 0, tp - eff
+                )
+                wmean = (csum[:, starts + eff] - csum[:, starts]) / eff  # (B, n_windows, maps)
+                logits = model.apply(variables, wmean, method="head")
+                return jax.nn.softmax(logits.astype(jnp.float32), -1)  # (B, n_windows, L)
+
+            return score_fused
 
         @partial(jax.jit, static_argnames=("n_windows",))
         def score(variables, audio, n_windows):

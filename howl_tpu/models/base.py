@@ -32,6 +32,7 @@ class ModelSpec:
     is_sequential: bool = False  # emits (T, B, L) per-frame logits
     is_recurrent: bool = False  # carries streaming state
     uses_deltas: bool = False  # consumes delta/accel channels (only LAS does)
+    supports_trunk: bool = False  # fully-convolutional trunk + mean head (fused clip scoring)
     defaults: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -39,10 +40,17 @@ MODEL_REGISTRY: Dict[str, ModelSpec] = {}
 
 
 def register_model(
-    name: str, is_sequential: bool = False, is_recurrent: bool = False, uses_deltas: bool = False, **defaults
+    name: str,
+    is_sequential: bool = False,
+    is_recurrent: bool = False,
+    uses_deltas: bool = False,
+    supports_trunk: bool = False,
+    **defaults,
 ):
     def wrap(cls):
-        MODEL_REGISTRY[name] = ModelSpec(name, cls, is_sequential, is_recurrent, uses_deltas, defaults)
+        MODEL_REGISTRY[name] = ModelSpec(
+            name, cls, is_sequential, is_recurrent, uses_deltas, supports_trunk, defaults
+        )
         cls.registered_name = name
         return cls
 

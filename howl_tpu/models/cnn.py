@@ -20,10 +20,18 @@ import jax.numpy as jnp
 from howl_tpu.models.base import HowlModel, register_model
 
 
-@register_model("res8")
+@register_model("res8", supports_trunk=True)
 class Res8(HowlModel):
     """res8: 1 stem conv + AvgPool + 6 residual 3x3 convs with affine-less
-    BatchNorm + global mean + linear head (~111k params; ref cnn.py:107-145)."""
+    BatchNorm + global mean + linear head (~111k params; ref cnn.py:107-145).
+
+    Split into ``trunk_features`` (fully-convolutional: everything before the
+    global mean) and ``head`` so the streaming engine can run the trunk ONCE
+    over a whole clip and derive every sliding window's logits by windowed
+    average pooling over the trunk output — removing the ~8x per-window conv
+    redundancy of re-scoring 41-frame windows every 5 frames (the residual
+    FLOP waste of ref howl/model/inference.py:214-244). Same parameter tree as
+    the round-1 compact version (conv0..conv6, bn1..bn6, output)."""
 
     num_labels: int
     num_maps: int = 45
@@ -31,35 +39,58 @@ class Res8(HowlModel):
     bn_axis_name: Optional[str] = None
     dtype: Any = None  # e.g. jnp.bfloat16 for mixed-precision compute
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
+    def setup(self):
+        conv = lambda: nn.Conv(  # noqa: E731
+            self.num_maps, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype
+        )
+        self.conv0 = conv()
+        for i in range(1, 7):
+            setattr(self, f"conv{i}", conv())
+            setattr(
+                self,
+                f"bn{i}",
+                nn.BatchNorm(
+                    use_bias=False,
+                    use_scale=False,
+                    momentum=0.9,
+                    dtype=self.dtype,
+                    axis_name=self.bn_axis_name,
+                ),
+            )
+        self.output = nn.Dense(self.num_labels)
+
+    def trunk_features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(B, C, F, T) features -> (B, T', F', maps) pre-mean trunk output."""
         x = self._mels_only_nhwc(x)  # (B, T, F, 1)
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        y = nn.relu(nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name="conv0")(x))
+        y = nn.relu(self.conv0(x))
         y = nn.avg_pool(y, self.pooling, strides=self.pooling)
         x = old_x = y
         for i in range(1, 7):
-            y = nn.relu(
-                nn.Conv(self.num_maps, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name=f"conv{i}")(x)
-            )
+            y = nn.relu(getattr(self, f"conv{i}")(x))
             if i % 2 == 0:
                 x = y + old_x
                 old_x = x
             else:
                 x = y
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                use_bias=False,
-                use_scale=False,
-                momentum=0.9,
-                dtype=self.dtype,
-                axis_name=self.bn_axis_name if train else None,
-                name=f"bn{i}",
-            )(x)
-        x = x.mean(axis=(1, 2))  # global average over (time, freq)
-        # head + logits in f32 for stable softmax/CE
-        return nn.Dense(self.num_labels, name="output")(x.astype(jnp.float32))
+            x = getattr(self, f"bn{i}")(x, use_running_average=not train)
+        return x
+
+    def head(self, pooled: jnp.ndarray) -> jnp.ndarray:
+        """Mean trunk features (..., maps) -> logits; f32 for stable softmax/CE."""
+        return self.output(pooled.astype(jnp.float32))
+
+    def windowed_logits(self, x: jnp.ndarray, span_lo: int, span_hi: int, train: bool = False):
+        """Logits for the window covering trunk frames [span_lo, span_hi) of a
+        context segment — the trunk-mode TRAINING forward, so train matches
+        the fused clip-level serving computation exactly."""
+        feats = self.trunk_features(x, train=train)
+        return self.head(feats[:, span_lo:span_hi].mean(axis=(1, 2)))
+
+    def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
+        feats = self.trunk_features(x, train=train)
+        return self.head(feats.mean(axis=(1, 2)))  # global average over (time, freq)
 
 
 @register_model("small-cnn")

@@ -178,6 +178,13 @@ def run(args=None) -> dict:
         opt("--no-augment", dest="use_augment", action="store_false"),
         opt("--seed", type=int, default=None, help="override SETTINGS.training.seed (explicit plumbing; no env mutation)"),
         opt(
+            "--fused-trunk",
+            action="store_true",
+            help="trunk-mode training for res8: batches become context segments "
+            "and logits pool the central window span of clip-contextual trunk "
+            "features, exactly matching the engine's fused clip-level scoring",
+        ),
+        opt(
             "--use-timestretch",
             action="store_true",
             help="host-side phase-vocoder time stretch on full clips before window "
@@ -234,9 +241,26 @@ def run(args=None) -> dict:
     window_ms = int(SETTINGS.training.max_window_size_seconds * 1000)
     window_samples = int(window_ms / 1000 * sample_rate)
 
+    trunk_context_samples = 0
+    trunk_span = None
+    if args.fused_trunk:
+        if not use_frame or not model_spec(args.model).supports_trunk:
+            raise SystemExit("--fused-trunk requires the frame objective and a trunk-capable model (res8)")
+        # margin >= trunk receptive field: conv0 (1 frame/side) + 6 post-pool
+        # 3x3 convs (6 pooled = 18 frames/side) -> 19 frames; round to 20
+        hop = SETTINGS.audio_transform.hop_length
+        trunk_context_samples = 20 * hop
+        pool_t = 3  # res8 time pooling
+        span = (window_samples // hop + 1) // pool_t
+        lo = round((trunk_context_samples // hop) / pool_t)
+        trunk_span = (lo, lo + span)
+
     if use_frame:
         batchifier = WakeWordFrameBatchifier(
-            ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate
+            ctx.negative_label,
+            window_size_ms=window_ms,
+            sample_rate=sample_rate,
+            context_samples=trunk_context_samples,
         )
     else:
         tokenizer = WakeWordTokenizer(ctx.vocab, ignore_oov=False)
@@ -307,6 +331,7 @@ def run(args=None) -> dict:
         replace_prob=0.0,
         negative_label=ctx.negative_label,
         blank_label=ctx.blank_label,
+        trunk_span=trunk_span,
     )
     model = create_model(args.model, num_labels=ctx.num_labels)
     spec = model_spec(args.model)

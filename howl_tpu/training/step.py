@@ -11,7 +11,7 @@ arrive split on the ``data`` axis and GSPMD inserts the gradient all-reduce.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,10 @@ class StepConfig(NamedTuple):
     replace_prob: float = 0.0
     negative_label: int = 0
     blank_label: int = -1
+    # trunk-mode training (fused-trunk res8): batches are context segments and
+    # the logits come from trunk frames [lo, hi) via Res8.windowed_logits, so
+    # training matches the engine's fused clip-level scoring exactly
+    trunk_span: Optional[Tuple[int, int]] = None
 
 
 def featurize(audio: jnp.ndarray, cfg: StepConfig, key: Optional[jax.Array] = None) -> jnp.ndarray:
@@ -70,14 +74,15 @@ def make_classification_train_step(model, cfg: StepConfig, noise_bank=None) -> C
         )
 
         def loss_fn(params):
-            out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                feats,
-                lengths=model_lengths,
-                train=True,
-                rngs={"dropout": k_drop},
-                mutable=["batch_stats"],
-            )
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            apply_kwargs = dict(train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            if cfg.trunk_span is not None:
+                out, mutated = state.apply_fn(
+                    variables, feats, cfg.trunk_span[0], cfg.trunk_span[1],
+                    method="windowed_logits", **apply_kwargs
+                )
+            else:
+                out, mutated = state.apply_fn(variables, feats, lengths=model_lengths, **apply_kwargs)
             loss = frame_ce_loss(out, labels)
             return loss, (out, mutated["batch_stats"])
 

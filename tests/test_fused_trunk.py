@@ -1,0 +1,158 @@
+"""Fused-trunk res8 scoring: exact oracle parity, locality, and end-to-end
+train+serve co-design (VERDICT.md round-2 item #1).
+
+The engine runs the res8 conv trunk ONCE over the whole clip and derives each
+window's logits by windowed average pooling (cumsum) over the trunk output,
+instead of re-convolving 41-frame windows every 5 frames (the ~8x FLOP
+redundancy left in ref howl/model/inference.py:214-244's design).
+"""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_wakeword_corpus
+
+
+def _res8_engine(variables=None, fused=None, clip_samples=8000):
+    import jax
+
+    from howl_tpu.inference import EngineConfig, StreamingEngine
+    from howl_tpu.models import create_model
+    from howl_tpu.models.base import model_spec
+    from howl_tpu.ops.frontend import FrontendConfig
+    from howl_tpu.training.step import StepConfig, featurize
+
+    cfg = EngineConfig(
+        inference_sequence=(0, 1, 2),
+        max_window_size_ms=500.0,
+        eval_stride_size_ms=62.5,
+        negative_label=3,
+        num_labels=4,
+    )
+    frontend = FrontendConfig(n_mels=40)
+    model = create_model("res8", num_labels=4)
+    if variables is None:
+        feats0 = featurize(
+            np.zeros((1, clip_samples), np.float32),
+            StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    engine = StreamingEngine(model, variables, cfg, frontend, spec=model_spec("res8"), fused_trunk=fused)
+    return engine, model, variables
+
+
+def test_fused_is_default_for_res8():
+    engine, _, _ = _res8_engine()
+    assert engine.fused_trunk
+
+
+def test_fused_matches_naive_slice_oracle(rng):
+    """Cumsum windowed pooling == naively slicing the trunk per window."""
+    import jax
+
+    from howl_tpu.ops.frontend import log_mel_spectrogram
+
+    engine, model, variables = _res8_engine()
+    audio = (rng.standard_normal((2, 32000)) * 0.1).astype(np.float32)
+    probs = np.asarray(engine.score_batch(audio)["probs"])  # (B, n_win, L)
+
+    feats = np.asarray(log_mel_spectrogram(audio, engine.frontend, stacked=True))
+    trunk = np.asarray(model.apply(variables, feats, train=False, method="trunk_features"))
+    tfm = trunk.mean(axis=2)  # (B, T', maps)
+    span = engine.window_frames // 3
+    naive = []
+    for i in range(probs.shape[1]):
+        s = int(np.clip(round(i * engine.stride_frames / 3), 0, tfm.shape[1] - span))
+        naive.append(tfm[:, s : s + span].mean(axis=1))
+    logits = np.asarray(model.apply(variables, np.stack(naive, axis=1), method="head"))
+    oracle = np.asarray(jax.nn.softmax(logits, -1))
+    np.testing.assert_allclose(probs, oracle, atol=1e-5)
+
+
+def test_fused_windows_remain_local(rng):
+    """Perturbing audio far outside a window's receptive field leaves its
+    posterior unchanged (trunk context is bounded, not global)."""
+    engine, _, _ = _res8_engine()
+    audio = (rng.standard_normal((2, 32000)) * 0.1).astype(np.float32)
+    p1 = np.asarray(engine.score_batch(audio)["probs"])
+    audio2 = audio.copy()
+    audio2[:, :4000] += 0.2  # >1.5 s away from the last window + receptive field
+    p2 = np.asarray(engine.score_batch(audio2)["probs"])
+    np.testing.assert_allclose(p1[:, -1], p2[:, -1], atol=1e-5)
+
+
+def test_short_clip_smaller_than_window(rng):
+    engine, _, _ = _res8_engine()
+    audio = (rng.standard_normal((1, 4000)) * 0.1).astype(np.float32)
+    out = engine.infer_batch(audio)
+    assert np.asarray(out["probs"]).shape[1] == 1
+    assert np.isfinite(np.asarray(out["probs"])).all()
+
+
+@pytest.mark.slow
+def test_fused_trunk_train_and_serve_end_to_end(tmp_path, monkeypatch):
+    """Train res8 in trunk mode (--fused-trunk context segments) and serve
+    fused: perfect detection on the synthetic corpus, AND the fused engine's
+    decisions match the legacy per-window engine's on every eval clip."""
+    corpus = make_wakeword_corpus(tmp_path / "ww", vocab=("hey", "fire", "fox"), n_positive=12, n_negative=12)
+    ws = tmp_path / "ws"
+    for k, v in {
+        "VOCAB": '["hey","fire","fox"]',
+        "INFERENCE_SEQUENCE": "[0,1,2]",
+        "NUM_EPOCHS": "40",
+        "BATCH_SIZE": "16",
+        "LEARNING_RATE": "0.02",
+        "LR_DECAY": "0.98",
+        "MAX_WINDOW_SIZE_SECONDS": "0.5",
+        "EVAL_STRIDE_SIZE_SECONDS": "0.063",
+        "NUM_MELS": "40",
+        "INFERENCE_THRESHOLD": "0",
+        "TOLERANCE_WINDOW_MS": "500",
+    }.items():
+        monkeypatch.setenv(k, v)
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.training.run.train import run
+
+    results = run(
+        [
+            "--model", "res8", "--workspace", str(ws), "-i", str(corpus),
+            "--eval-freq", "0", "--steps-per-epoch", "10", "--no-augment", "--fused-trunk",
+        ]
+    )
+    assert results["test_pos"]["tp"] == 3, results
+    assert results["dev_pos"]["tp"] == 3, results
+    assert results["dev_neg"]["fp"] == 0, results
+    assert results["test_neg"]["fp"] == 0, results
+
+    # decision equivalence fused vs legacy on the trained model
+    import flax
+    import jax
+
+    from howl_tpu.data.dataset.dataset import DatasetSplit, DatasetType, WakeWordDataset
+    from howl_tpu.data.dataset.dataset_loader import WakeWordDatasetLoader
+    from howl_tpu.context import InferenceContext
+    from howl_tpu.models import create_model
+    from howl_tpu.workspace import Workspace
+
+    ctx = InferenceContext(vocab=["hey", "fire", "fox"], token_type="word")
+    model = create_model("res8", num_labels=ctx.num_labels)
+    feats0 = np.zeros((1, 3, 40, 41), np.float32)
+    template = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    variables = Workspace(ws, delete_existing=False).load_model(template, best=True)
+
+    engine_f, _, _ = _res8_engine(variables=variables, fused=True)
+    engine_l, _, _ = _res8_engine(variables=variables, fused=False)
+    loader = WakeWordDatasetLoader()
+    _, dev, test = loader.load_splits(corpus, sample_rate=16000, mono=True, frame_labeler=ctx.labeler)
+    clips = [dev[i].audio_data for i in range(len(dev))] + [test[i].audio_data for i in range(len(test))]
+    n = max(len(c) for c in clips)
+    batch = np.zeros((len(clips), n), np.float32)
+    lengths = np.zeros(len(clips), np.int64)
+    for i, c in enumerate(clips):
+        batch[i, : len(c)] = c
+        lengths[i] = len(c)
+    det_f = np.asarray(engine_f.infer_batch(batch, lengths)["detected"])
+    det_l = np.asarray(engine_l.infer_batch(batch, lengths)["detected"])
+    np.testing.assert_array_equal(det_f, det_l)
