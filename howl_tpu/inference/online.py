@@ -36,14 +36,22 @@ class OnlineEngine:
         zmuv_std: float = 1.0,
         spec: Optional[ModelSpec] = None,
         num_streams: int = 1,
+        compute_dtype=None,
     ):
         self.model = model
         self.variables = variables
+        self.compute_dtype = compute_dtype
+        if compute_dtype is not None:
+            self.variables = jax.tree.map(
+                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+                variables,
+            )
         self.cfg = cfg
         self.frontend = frontend
         self.zmuv_mean = float(zmuv_mean)
         self.zmuv_std = float(zmuv_std)
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
+        self._use_pallas = not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
         self.num_streams = num_streams
         self.window_samples = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate)
         stride = cfg.eval_stride_size_ms
@@ -63,8 +71,17 @@ class OnlineEngine:
 
         @partial(jax.jit, static_argnames=())
         def step(variables, audio, state: DetectState, t_now, carry):
-            feats = log_mel_spectrogram(audio, frontend, stacked=True)
-            feats = (feats - self.zmuv_mean) / self.zmuv_std
+            if self._use_pallas:
+                # fused mel+ZMUV kernel, same serving path as StreamingEngine
+                from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
+
+                mels = log_mel_spectrogram_pallas(audio, frontend, self.zmuv_mean, self.zmuv_std)
+                feats = mels[:, None, :, :]
+            else:
+                feats = log_mel_spectrogram(audio, frontend, stacked=True)
+                feats = (feats - self.zmuv_mean) / self.zmuv_std
+            if self.compute_dtype is not None:
+                feats = feats.astype(self.compute_dtype)
             if spec.is_recurrent:
                 out, new_carry = model.apply(variables, feats, train=False, carry=carry, return_carry=True)
             else:
@@ -72,7 +89,7 @@ class OnlineEngine:
                 new_carry = carry
             if out.ndim == 3:  # sequential model: use the last frame's logits
                 out = out[-1]
-            probs = jax.nn.softmax(out, -1)
+            probs = jax.nn.softmax(out.astype(jnp.float32), -1)
             probs = apply_inference_weights(probs, cfg)
             valid = jnp.ones((audio.shape[0],), bool)
             new_state, label, fired_now = detect_step(

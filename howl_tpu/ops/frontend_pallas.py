@@ -40,27 +40,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(frames_ref, cos_ref, sin_ref, fb_ref, zmuv_ref, out_ref):
-    # HIGHEST matmul precision (3-pass f32 on the MXU): the log compresses
-    # dynamic range, so single-pass bf16 would leak ~3e-2 error into features
-    hi = jax.lax.Precision.HIGHEST
+def _kernel(frames_ref, cos_ref, sin_ref, fb_ref, zmuv_ref, out_ref, *, precision):
+    # HIGHEST is load-bearing: measured on-device against the torchaudio
+    # goldens (tools/validate_pallas_precision.py), DEFAULT single-pass bf16
+    # destroys the DFT's cancellation (log-mel error >3.0) while HIGHEST
+    # matches to 1.2e-4; Mosaic does not support HIGH in-kernel.
     frames = frames_ref[:, :]  # (FRAME_BLOCK, n_fft); hann folded into DFT mats
-    re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
-    im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
+    re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
+    im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
     power = re * re + im * im  # (FRAME_BLOCK, n_freqs_pad) — stays in VMEM
-    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
+    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
     mean = zmuv_ref[0]
     inv_std = zmuv_ref[1]
     out_ref[:, :] = (jnp.log(mel + 1e-7) - mean) * inv_std
 
 
-@partial(jax.jit, static_argnames=("config", "interpret"))
+@partial(jax.jit, static_argnames=("config", "interpret", "precision"))
 def log_mel_spectrogram_pallas(
     audio: jnp.ndarray,
     config: FrontendConfig = FrontendConfig(),
     zmuv_mean=0.0,
     zmuv_std=1.0,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """(B, samples) -> ZMUV-normalized (B, n_mels, frames) log-mels.
 
@@ -100,7 +102,7 @@ def log_mel_spectrogram_pallas(
     flops_per_block = 2 * FRAME_BLOCK * n_fft * n_freqs_pad * 2 + 2 * FRAME_BLOCK * n_freqs_pad * n_mels_pad
 
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, precision=precision),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((FRAME_BLOCK, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
