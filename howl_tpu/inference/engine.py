@@ -9,8 +9,11 @@ score B streams concurrently:
     windows become strided views over the frame axis — at the default geometry
     (41-frame windows every 5 frames) this alone removes ~8x redundant STFT
     work the reference re-does per window;
-  * static models (res8 & friends) score ALL windows of ALL streams as one
-    mega-batch (B*n_windows, ...) — maximal MXU occupancy;
+  * trunk-capable models (res8) also run their conv trunk ONCE per clip, with
+    per-window logits from cumsum windowed pooling over trunk features —
+    removing the matching ~8x conv redundancy too (see fused_trunk below);
+  * other static models score ALL windows of ALL streams as one mega-batch
+    (B*n_windows, ...) — maximal MXU occupancy;
   * recurrent models scan frames with an explicit carry;
   * smoothing + FSM run as a `lax.scan` over steps (see detect.py).
 

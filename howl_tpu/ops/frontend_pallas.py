@@ -40,16 +40,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(frames_ref, cos_ref, sin_ref, fb_ref, zmuv_ref, out_ref, *, precision):
-    # HIGHEST is load-bearing: measured on-device against the torchaudio
-    # goldens (tools/validate_pallas_precision.py), DEFAULT single-pass bf16
-    # destroys the DFT's cancellation (log-mel error >3.0) while HIGHEST
-    # matches to 1.2e-4; Mosaic does not support HIGH in-kernel.
+def _dot_bf16x3(x, a_hi, a_lo):
+    """f32-grade matmul from three single-pass bf16 MXU GEMMs.
+
+    Splits x into hi+lo bf16 halves and drops only the lo*lo cross term
+    (~2^-18 relative): x @ A ~ x_hi@A_hi + x_hi@A_lo + x_lo@A_hi. Mosaic has
+    no Precision.HIGH in-kernel; this is that 3-pass decomposition by hand.
+
+    Measured on the v5e (tools/validate_pallas_precision.py + bench.py):
+    accuracy is fine (log-mel error vs the torchaudio goldens 5e-3 above the
+    -10 floor; DEFAULT bf16 alone: >3.0 — the DFT cancellation dies; HIGHEST:
+    1.2e-4) but it is ~2.5x SLOWER than precision=HIGHEST through this stack —
+    Mosaic's native multi-pass f32 dot beats three separate bf16 dots with
+    VPU accumulation. Kept as an option; HIGHEST is the default.
+    """
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    return jnp.dot(x_hi, a_hi, **kw) + (jnp.dot(x_hi, a_lo, **kw) + jnp.dot(x_lo, a_hi, **kw))
+
+
+def _kernel(frames_ref, cos_a_ref, cos_b_ref, sin_a_ref, sin_b_ref, fb_ref, zmuv_ref, out_ref, *, precision):
     frames = frames_ref[:, :]  # (FRAME_BLOCK, n_fft); hann folded into DFT mats
-    re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
-    im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
+    if precision is None:  # bf16x3 fast path (the TPU default): a=hi, b=lo splits
+        re = _dot_bf16x3(frames, cos_a_ref[:, :], cos_b_ref[:, :])
+        im = _dot_bf16x3(frames, sin_a_ref[:, :], sin_b_ref[:, :])
+    else:  # faithful mode: a = the exact f32 matrix, b unused
+        re = jnp.dot(frames, cos_a_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
+        im = jnp.dot(frames, sin_a_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
     power = re * re + im * im  # (FRAME_BLOCK, n_freqs_pad) — stays in VMEM
-    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
+    # mel GEMM stays HIGHEST: 1/8 of the DFT MACs, and power's wide dynamic
+    # range (no cancellation, but 8 decades) is what the log reads directly
+    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     mean = zmuv_ref[0]
     inv_std = zmuv_ref[1]
     out_ref[:, :] = (jnp.log(mel + 1e-7) - mean) * inv_std
@@ -68,6 +90,9 @@ def log_mel_spectrogram_pallas(
 
     Numerically matches ``(log_mel_spectrogram(audio) - mean) / std`` from the
     jnp reference (same center/reflect padding, Hann window, HTK mel).
+    ``precision=None`` selects the bf16x3 DFT path (f32-grade accuracy but
+    measured slower than HIGHEST on v5e — see _dot_bf16x3); the default
+    HIGHEST is both the fastest and the most faithful on this hardware.
     """
     if audio.ndim == 1:
         audio = audio[None, :]
@@ -93,6 +118,20 @@ def log_mel_spectrogram_pallas(
     sin_p = np.zeros((n_fft, n_freqs_pad), np.float32)
     cos_p[:, :n_freqs] = cos_m * window  # fold the hann window into the DFT
     sin_p[:, :n_freqs] = sin_m * window
+    if precision is None:
+        # hi/lo bf16 splits of the DFT matrices (see _dot_bf16x3)
+        import ml_dtypes
+
+        def split_bf16(a):
+            hi = a.astype(ml_dtypes.bfloat16)
+            lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            return hi, lo
+
+        cos_a, cos_b = split_bf16(cos_p)
+        sin_a, sin_b = split_bf16(sin_p)
+    else:
+        cos_a, sin_a = cos_p, sin_p
+        cos_b = sin_b = np.zeros_like(cos_p)
     fb = mel_filterbank(n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max)
     fb_p = np.zeros((n_freqs_pad, n_mels_pad), np.float32)
     fb_p[:n_freqs, : config.n_mels] = fb
@@ -108,6 +147,8 @@ def log_mel_spectrogram_pallas(
             pl.BlockSpec((FRAME_BLOCK, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_freqs_pad, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -119,7 +160,15 @@ def log_mel_spectrogram_pallas(
             transcendentals=total_pad * n_mels_pad,
         ),
         interpret=interpret,
-    )(frames, jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(fb_p), zmuv)
+    )(
+        frames,
+        jnp.asarray(cos_a),
+        jnp.asarray(cos_b),
+        jnp.asarray(sin_a),
+        jnp.asarray(sin_b),
+        jnp.asarray(fb_p),
+        zmuv,
+    )
 
     out = out[:total, : config.n_mels].reshape(b, n_frames, config.n_mels)
     return out.swapaxes(-1, -2)  # (B, n_mels, T)

@@ -13,9 +13,13 @@ def test_pallas_matches_jnp_oracle(n_mels, samples, rng):
     audio = (rng.standard_normal((2, samples)) * 0.1).astype(np.float32)
     ref = np.asarray(log_mel_spectrogram(audio, cfg))
     mean, std = float(ref.mean()), float(ref.std())
+    # the default (HIGHEST) tracks the f32 oracle tightly...
     out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, mean, std, interpret=True))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, (ref - mean) / std, atol=1e-4)
+    # ...and the optional bf16x3 path stays within the bf16-cast noise floor
+    fast = np.asarray(log_mel_spectrogram_pallas(audio, cfg, mean, std, interpret=True, precision=None))
+    np.testing.assert_allclose(fast, (ref - mean) / std, atol=0.15 / max(std, 1e-6))
 
 
 def test_pallas_single_clip(rng):

@@ -28,12 +28,12 @@ def main():
     for n_mels in (40, 80):
         gold = np.load(REPO / f"tests/golden/frontend_logmel_{n_mels}.npy")
         cfg = FrontendConfig(n_mels=n_mels)
-        for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):  # Mosaic rejects HIGH in-kernel
+        for prec in (None, jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):  # None = bf16x3 default; Mosaic rejects HIGH
             out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, 0.0, 1.0, precision=prec))
             err = np.abs(out - gold)
             loud = gold > FLOOR
             print(
-                f"n_mels={n_mels} precision={prec.name:8s} "
+                f"n_mels={n_mels} precision={(prec.name if prec else 'BF16X3'):8s} "
                 f"above_floor_max={err[loud].max():.5f} global_max={err.max():.5f} mean={err.mean():.6f}"
             )
 
