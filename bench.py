@@ -45,6 +45,10 @@ def path_flops_per_clip(clip_samples: int, n_mels: int, num_labels: int, n_fft=5
 
 
 def main():
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()  # honor JAX_PLATFORMS=cpu despite the sitecustomize TPU pin
+
     import jax
 
     from howl_tpu.inference import EngineConfig, StreamingEngine

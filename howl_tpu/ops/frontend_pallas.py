@@ -60,14 +60,20 @@ def _dot_bf16x3(x, a_hi, a_lo):
     return jnp.dot(x_hi, a_hi, **kw) + (jnp.dot(x_hi, a_lo, **kw) + jnp.dot(x_lo, a_hi, **kw))
 
 
-def _kernel(frames_ref, cos_a_ref, cos_b_ref, sin_a_ref, sin_b_ref, fb_ref, zmuv_ref, out_ref, *, precision):
+def _kernel(frames_ref, *refs, precision):
+    """Operands after frames: bf16x3 mode gets (cos_hi, cos_lo, sin_hi,
+    sin_lo); plain-precision mode gets (cos, sin) — no dead zero matrices
+    streamed into VMEM. Trailing refs are always (fb, zmuv, out)."""
+    mat_refs, (fb_ref, zmuv_ref, out_ref) = refs[:-3], refs[-3:]
     frames = frames_ref[:, :]  # (FRAME_BLOCK, n_fft); hann folded into DFT mats
-    if precision is None:  # bf16x3 fast path (the TPU default): a=hi, b=lo splits
-        re = _dot_bf16x3(frames, cos_a_ref[:, :], cos_b_ref[:, :])
-        im = _dot_bf16x3(frames, sin_a_ref[:, :], sin_b_ref[:, :])
-    else:  # faithful mode: a = the exact f32 matrix, b unused
-        re = jnp.dot(frames, cos_a_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
-        im = jnp.dot(frames, sin_a_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
+    if precision is None:  # bf16x3 option (measured slower than HIGHEST on v5e)
+        cos_hi_ref, cos_lo_ref, sin_hi_ref, sin_lo_ref = mat_refs
+        re = _dot_bf16x3(frames, cos_hi_ref[:, :], cos_lo_ref[:, :])
+        im = _dot_bf16x3(frames, sin_hi_ref[:, :], sin_lo_ref[:, :])
+    else:  # the default: exact f32 matrices at Mosaic's native multi-pass dot
+        cos_ref, sin_ref = mat_refs
+        re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
+        im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
     power = re * re + im * im  # (FRAME_BLOCK, n_freqs_pad) — stays in VMEM
     # mel GEMM stays HIGHEST: 1/8 of the DFT MACs, and power's wide dynamic
     # range (no cancellation, but 8 decades) is what the log reads directly
@@ -127,11 +133,11 @@ def log_mel_spectrogram_pallas(
             lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
             return hi, lo
 
-        cos_a, cos_b = split_bf16(cos_p)
-        sin_a, sin_b = split_bf16(sin_p)
+        cos_hi, cos_lo = split_bf16(cos_p)
+        sin_hi, sin_lo = split_bf16(sin_p)
+        dft_mats = [cos_hi, cos_lo, sin_hi, sin_lo]
     else:
-        cos_a, sin_a = cos_p, sin_p
-        cos_b = sin_b = np.zeros_like(cos_p)
+        dft_mats = [cos_p, sin_p]
     fb = mel_filterbank(n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max)
     fb_p = np.zeros((n_freqs_pad, n_mels_pad), np.float32)
     fb_p[:n_freqs, : config.n_mels] = fb
@@ -145,10 +151,10 @@ def log_mel_spectrogram_pallas(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((FRAME_BLOCK, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+                for _ in dft_mats
+            ],
             pl.BlockSpec((n_freqs_pad, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -160,15 +166,7 @@ def log_mel_spectrogram_pallas(
             transcendentals=total_pad * n_mels_pad,
         ),
         interpret=interpret,
-    )(
-        frames,
-        jnp.asarray(cos_a),
-        jnp.asarray(cos_b),
-        jnp.asarray(sin_a),
-        jnp.asarray(sin_b),
-        jnp.asarray(fb_p),
-        zmuv,
-    )
+    )(frames, *[jnp.asarray(m) for m in dft_mats], jnp.asarray(fb_p), zmuv)
 
     out = out[:total, : config.n_mels].reshape(b, n_frames, config.n_mels)
     return out.swapaxes(-1, -2)  # (B, n_mels, T)

@@ -202,20 +202,23 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
     window_samples = int(window_ms / 1000 * sample_rate)
     frontend_cfg = FrontendConfig.from_settings()
 
+    if not use_frame:
+        # one corpus-wide WAV-header scan, shared by the probe and all seeds
+        from howl_tpu.utils.audio_utils import wav_num_samples
+
+        ctc_max_audio = max(
+            (wav_num_samples(m.path, sample_rate) for m in ww_train.metadata_list),
+            default=window_samples,
+        )
+        ctc_tokenizer = WakeWordTokenizer(ctx.vocab, ignore_oov=False)
+
     def make_batchifier(seed=None):
         if use_frame:
             return WakeWordFrameBatchifier(
                 ctx.negative_label, window_size_ms=window_ms, sample_rate=sample_rate, seed=seed
             )
-        from howl_tpu.utils.audio_utils import wav_num_samples
-
-        max_audio = max(
-            (wav_num_samples(m.path, sample_rate) for m in ww_train.metadata_list),
-            default=window_samples,
-        )
-        tokenizer = WakeWordTokenizer(ctx.vocab, ignore_oov=False)
         return AudioSequenceBatchifier(
-            ctx.negative_label, tokenizer, sample_rate=sample_rate, max_audio_samples=max_audio
+            ctx.negative_label, ctc_tokenizer, sample_rate=sample_rate, max_audio_samples=ctc_max_audio
         )
 
     # shared ZMUV fit (one model-independent statistic)

@@ -99,6 +99,7 @@ class BatchedEvaluator:
     def _batches(self, dataset, mixer_bank, mixer_seed):
         buckets = {}
         total_ms = 0.0
+        batch_counter = 0
         for idx in range(len(dataset)):
             sample = dataset[idx]
             n = max(len(sample.audio_data), 1)
@@ -116,7 +117,8 @@ class BatchedEvaluator:
                     audio[row, :n] = sample.audio_data[:n]
                     lengths[row] = n
                 if mixer_bank is not None:
-                    audio = mix_for_eval(audio, mixer_bank, seed=mixer_seed, fold=start)
+                    audio = mix_for_eval(audio, mixer_bank, seed=mixer_seed, fold=batch_counter)
+                batch_counter += 1
                 yield chunk, audio, lengths
 
     def evaluate(self, dataset, positive_set: bool, mixer_bank: Optional[np.ndarray] = None, mixer_seed: int = 0):

@@ -18,6 +18,8 @@ test suite checks the CRC framing and proto bytes independently).
 
 from __future__ import annotations
 
+import itertools
+import os
 import socket
 import struct
 import time
@@ -84,12 +86,21 @@ def _scalar_summary(tag: str, value: float) -> bytes:
 
 
 class EventFileWriter:
-    """Append scalar events to ``logdir/events.out.tfevents.<ts>.<host>``."""
+    """Append scalar events to ``logdir/events.out.tfevents.<ts>.<host>.<pid>.<n>``.
+
+    The pid + per-process counter suffix (the same scheme TensorFlow uses)
+    keeps two writers created in the same second from appending interleaved
+    records to one file, which would corrupt the TFRecord framing."""
+
+    _counter = itertools.count()
 
     def __init__(self, logdir: Path):
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
-        name = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        name = (
+            f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+            f".{os.getpid()}.{next(self._counter)}"
+        )
         self._file = (self.logdir / name).open("ab")
         self._write_record(_event_proto(time.time(), file_version="brain.Event:2"))
 

@@ -126,6 +126,15 @@ class Workspace:
             self._tb_writer = EventFileWriter(self.path / "logs")
         self._tb_writer.add_scalar(name, value, step)
 
+    def close(self):
+        """Release the metrics jsonl and TensorBoard event file handles."""
+        if self._metrics_file is not None:
+            self._metrics_file.close()
+            self._metrics_file = None
+        if getattr(self, "_tb_writer", None) is not None:
+            self._tb_writer.close()
+            self._tb_writer = None
+
     def summary(self) -> dict:
         """Latest value per metric name."""
         out = {}

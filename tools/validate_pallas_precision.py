@@ -28,7 +28,7 @@ def main():
     for n_mels in (40, 80):
         gold = np.load(REPO / f"tests/golden/frontend_logmel_{n_mels}.npy")
         cfg = FrontendConfig(n_mels=n_mels)
-        for prec in (None, jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):  # None = bf16x3 default; Mosaic rejects HIGH
+        for prec in (None, jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):  # None = bf16x3 option; Mosaic rejects HIGH
             out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, 0.0, 1.0, precision=prec))
             err = np.abs(out - gold)
             loud = gold > FLOOR
