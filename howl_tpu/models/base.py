@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass
@@ -93,8 +94,11 @@ class ConvertedStaticModel(nn.Module):
     """Turns a static window classifier into a per-frame sequential model by an
     internal sliding window over the time axis (ref: howl/model/base.py:40-62).
 
-    Expressed as a batched gather + vmapped inner apply so the whole unrolled
-    window sweep compiles to one fused program.
+    All windows fold into the batch axis and the inner classifier runs once —
+    one fused program instead of the reference's per-window Python sweep. At
+    train time this computes BatchNorm statistics over every window jointly
+    (the reference normalizes each window position separately); running-stat
+    inference is identical.
     """
 
     inner: nn.Module
@@ -111,9 +115,13 @@ class ConvertedStaticModel(nn.Module):
         # x: (B, C, F, T)
         total = x.shape[-1]
         num_windows = max(1, (total - self.frame_window_size) // self.frame_stride_size)
-        outputs = []
-        for w in range(num_windows):
-            start = w * self.frame_stride_size
-            window = x[..., start : start + self.frame_window_size]
-            outputs.append(self.inner(window, lengths=None, train=train))
-        return jnp.stack(outputs)  # (num_windows, B, L)
+        starts = np.arange(num_windows) * self.frame_stride_size
+        idx = starts[:, None] + np.arange(self.frame_window_size)[None, :]  # (nw, W)
+        windows = x[..., idx]  # (B, C, F, nw, W)
+        b = windows.shape[0]
+        # fold the window axis into the batch so the inner classifier runs
+        # ONCE over all windows (one fused program, full MXU batch) instead of
+        # a Python-unrolled per-window sweep
+        flat = jnp.moveaxis(windows, 3, 1).reshape(b * num_windows, *x.shape[1:-1], self.frame_window_size)
+        logits = self.inner(flat, lengths=None, train=train)  # (B*nw, L)
+        return logits.reshape(b, num_windows, -1).swapaxes(0, 1)  # (nw, B, L)
