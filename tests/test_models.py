@@ -189,3 +189,19 @@ def test_confusion_matrix():
     cm2.increment(True, True)
     cm2.increment(False, False)
     assert cm2.mcc == 1.0
+
+
+def test_res8_parameter_tree_is_stable():
+    """The trunk/head split must keep the round-1 parameter names so saved
+    workspaces keep loading (conv0..conv6, bn1..bn6, output)."""
+    import jax
+    import numpy as np
+
+    from howl_tpu.models import create_model
+
+    model = create_model("res8", num_labels=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, np.zeros((1, 3, 40, 41), np.float32), train=False
+    )
+    assert sorted(variables["params"]) == [f"conv{i}" for i in range(7)] + ["output"]
+    assert sorted(variables["batch_stats"]) == [f"bn{i}" for i in range(1, 7)]
