@@ -1,7 +1,6 @@
 """Every model family trains through the full wakeword pipeline (smoke):
 las / gru / small-cnn under the frame objective, seq-cnn under CTC."""
 
-import numpy as np
 import pytest
 
 from tests.fixtures import make_wakeword_corpus

@@ -2,7 +2,6 @@
 export, vision pretraining smoke, CTC objective."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 import pytest

@@ -127,10 +127,8 @@ def test_fused_trunk_train_and_serve_end_to_end(tmp_path, monkeypatch):
     assert results["test_neg"]["fp"] == 0, results
 
     # decision equivalence fused vs legacy on the trained model
-    import flax
     import jax
 
-    from howl_tpu.data.dataset.dataset import DatasetSplit, DatasetType, WakeWordDataset
     from howl_tpu.data.dataset.dataset_loader import WakeWordDatasetLoader
     from howl_tpu.context import InferenceContext
     from howl_tpu.models import create_model

@@ -1,9 +1,6 @@
 """Phone-token training path + exact train-state resume."""
 
-import json
-from pathlib import Path
 
-import numpy as np
 import pytest
 
 from tests.fixtures import make_wakeword_corpus

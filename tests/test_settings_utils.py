@@ -1,6 +1,5 @@
 """Unit tests: settings env overrides, hashing, registry, audio I/O, striding."""
 
-import os
 
 import numpy as np
 import pytest

@@ -2,7 +2,6 @@
 checkpoints round-trip, eval mode reproduces accuracy. Exercises the full
 loader -> sampler -> jitted step -> workspace path on the 8-device CPU mesh."""
 
-import numpy as np
 import pytest
 
 from tests.fixtures import make_gsc_corpus

@@ -1,7 +1,6 @@
 """End-to-end wakeword training: aligned dataset -> window batchifier -> frame
 objective -> batched streaming engine detects positives and rejects negatives."""
 
-import numpy as np
 import pytest
 
 from tests.fixtures import make_noise_dir, make_wakeword_corpus
