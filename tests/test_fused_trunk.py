@@ -154,3 +154,38 @@ def test_fused_trunk_train_and_serve_end_to_end(tmp_path, monkeypatch):
     det_f = np.asarray(engine_f.infer_batch(batch, lengths)["detected"])
     det_l = np.asarray(engine_l.infer_batch(batch, lengths)["detected"])
     np.testing.assert_array_equal(det_f, det_l)
+
+
+@pytest.mark.slow
+def test_fused_trunk_with_timestretch_and_noise(tmp_path, monkeypatch):
+    """All round-2 train-chain features together: trunk-mode context segments
+    + host phase-vocoder timestretch + device noise mixing + noisy eval."""
+    from tests.fixtures import make_noise_dir
+
+    corpus = make_wakeword_corpus(tmp_path / "ww", n_positive=6, n_negative=6)
+    noise = make_noise_dir(tmp_path / "noise")
+    for k, v in {
+        "VOCAB": '["hey","fire","fox"]',
+        "INFERENCE_SEQUENCE": "[0,1,2]",
+        "NUM_EPOCHS": "2",
+        "BATCH_SIZE": "4",
+        "MAX_WINDOW_SIZE_SECONDS": "0.5",
+        "NUM_MELS": "40",
+        "USE_NOISE_DATASET": "true",
+        "NOISE_DATASET_PATH": str(noise),
+    }.items():
+        monkeypatch.setenv(k, v)
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.training.run.train import run
+
+    results = run(
+        [
+            "--model", "res8", "--workspace", str(tmp_path / "ws"), "-i", str(corpus),
+            "--eval-freq", "0", "--steps-per-epoch", "2", "--fused-trunk", "--use-timestretch",
+        ]
+    )
+    # pipeline completes through every stage: clean + noisy eval sets scored
+    assert {"dev_pos", "dev_neg", "test_pos", "test_neg", "dev_noisy_pos", "test_noisy_neg"} <= set(results)
+    assert (tmp_path / "ws" / "model-best.flax").exists()
