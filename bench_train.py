@@ -15,6 +15,10 @@ import numpy as np
 
 
 def bench_config(name, model_kwargs, batch=128, window_samples=8000, iters=24):
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()  # honor JAX_PLATFORMS=cpu despite the sitecustomize TPU pin
+
     import jax
 
     from howl_tpu.models import create_model
