@@ -35,7 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from howl_tpu.inference.config import EngineConfig
-from howl_tpu.inference.detect import apply_inference_weights, smooth_and_detect
+from howl_tpu.inference.detect import (
+    _smooth_and_detect_parallel,
+    apply_inference_weights,
+    smooth_and_detect,
+)
 from howl_tpu.models.base import ModelSpec, model_spec
 from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
 
@@ -103,6 +107,8 @@ class StreamingEngine:
             else bool(fused_trunk)
         )
         self._score = self._build_scorer()
+        self._geom_cache: dict = {}
+        self._infer_fn = self._build_infer_fused()
 
     # ---- scoring ----
 
@@ -198,6 +204,75 @@ class StreamingEngine:
         total_frames = self.frontend.num_frames(num_samples)
         return max((total_frames - self.window_frames) // self.stride_frames + 1, 1)
 
+    def _step_geometry(self, batch: int, num_samples: int) -> dict:
+        """Host-side step timing + ring geometry for one clip shape (cached).
+
+        Mirrors score_batch's times logic and smooth_and_detect's ring sizing
+        so the fully-fused infer path can pass them as static jit args.
+        """
+        key = (batch, num_samples)
+        geom = self._geom_cache.get(key)
+        if geom is not None:
+            return geom
+        cfg = self.cfg
+        n_win = self.n_windows(num_samples)
+        if self.spec.is_sequential:
+            shape = jax.ShapeDtypeStruct((batch, num_samples), jnp.float32)
+            t_steps = jax.eval_shape(lambda v, a: self._score(v, a, n_win), self.variables, shape).shape[1]
+            clip_ms = num_samples / cfg.sample_rate * 1000.0
+            times = np.arange(1, t_steps + 1) * (clip_ms / t_steps)
+            check_offset_is_stride = False
+        else:
+            t_steps = n_win
+            times = np.arange(t_steps) * self.stride_ms
+            check_offset_is_stride = True
+        stride = float(times[1] - times[0]) if t_steps > 1 else cfg.eval_stride_size_ms
+        stride = max(stride, 1e-6)
+        check_offset = stride if check_offset_is_stride else 0.0
+        geom = {
+            "n_win": n_win,
+            "times": times.astype(np.float32),
+            "stride": stride,
+            "check_offset": check_offset,
+            "s_steps": max(int(cfg.smoothing_window_ms // stride) + 1, 1),
+            "w_steps": max(int((cfg.inference_window_ms - check_offset) // stride) + 1, 1),
+        }
+        self._geom_cache[key] = geom
+        return geom
+
+    def _build_infer_fused(self):
+        """ONE jitted dispatch for the whole decision path: scoring, inference
+        weights, validity masking, smoothing + FSM. Keeping every stage in a
+        single program matters beyond fusion: each separate device call pays
+        fixed dispatch latency (sub-ms over PCIe, ms-scale through remote
+        relays), which at this model's size rivals the compute itself."""
+        cfg = self.cfg
+        spec = self.spec
+        score = self._score
+        import dataclasses
+
+        static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
+
+        @partial(jax.jit, static_argnames=("n_windows", "s_steps", "w_steps", "stride", "check_offset"))
+        def infer_fn(variables, audio, lengths, threshold, n_windows, s_steps, w_steps, stride, check_offset):
+            probs = score(variables, audio, n_windows)  # (B, T, L)
+            t_steps = probs.shape[1]
+            probs = apply_inference_weights(probs, cfg)
+            if spec.is_sequential:
+                frame_len = self.model.compute_length(lengths // self.frontend.hop_length + 1)
+                frame_len = jnp.clip(frame_len, 1, t_steps)
+                valid = jnp.arange(t_steps)[None, :] < frame_len[:, None]
+            else:
+                win_start = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
+                valid = (lengths[:, None] - win_start) >= 1000
+            out = _smooth_and_detect_parallel(
+                probs, valid, threshold, static_cfg, s_steps, w_steps, stride, check_offset
+            )
+            out["probs"] = probs
+            return out
+
+        return infer_fn
+
     # ---- public API ----
 
     def score_batch(self, audio, lengths=None) -> dict:
@@ -259,14 +334,42 @@ class StreamingEngine:
         result["probs"] = scores["probs"]
         return result
 
-    def infer_batch(self, audio, lengths=None) -> dict:
+    def infer_batch(self, audio, lengths=None, threshold: Optional[float] = None) -> dict:
         """Score B clips; returns detected (B,), first fire step, per-step labels.
 
         audio: (B, samples) float32 at cfg.sample_rate. lengths: optional true
         sample counts (padding windows are masked out of the decision logic,
         mirroring the reference's partial-window cutoff, inference.py:231-233).
+
+        The whole path (scoring -> weights -> validity -> smoothing+FSM) runs
+        as ONE device dispatch; use score_batch + detect_from_scores instead
+        when sweeping thresholds over cached posteriors.
         """
-        return self.detect_from_scores(self.score_batch(audio, lengths))
+        audio = jnp.asarray(audio)
+        batch, num_samples = audio.shape
+        geom = self._step_geometry(batch, num_samples)
+        if lengths is None:
+            # full-length clips: every window/frame is valid (the masks below
+            # reduce to all-true at these lengths, see score_batch)
+            lengths = jnp.full((batch,), num_samples, jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths)
+        thr = jnp.float32(self.cfg.inference_threshold if threshold is None else threshold)
+        out = dict(
+            self._infer_fn(
+                self.variables,
+                audio,
+                lengths,
+                thr,
+                n_windows=geom["n_win"],
+                s_steps=geom["s_steps"],
+                w_steps=geom["w_steps"],
+                stride=geom["stride"],
+                check_offset=geom["check_offset"],
+            )
+        )
+        out["times_ms"] = geom["times"]
+        return out
 
     def infer(self, audio) -> bool:
         """Single-clip convenience (the reference API shape, inference.py:222)."""

@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field, fields
 from typing import Any, List, Optional
 
@@ -203,6 +204,32 @@ class HowlSettings:
         """Re-read every section from the environment (ref: howl/settings.py:140)."""
         for key in _KEY_TO_SETTINGS_CLASS:
             setattr(self, key, None)
+
+    @contextmanager
+    def scoped(self, **section_overrides):
+        """Apply explicit per-section field overrides for a ``with`` block.
+
+        The in-process replacement for the reference harnesses' pattern of
+        exporting env vars per child process (ref: training/run/
+        eval_wake_word_detection.py:187-207) — overrides are plain typed
+        values, nothing touches ``os.environ``, and the previous sections are
+        restored on exit (even on error)::
+
+            with SETTINGS.scoped(training={"seed": 3, "num_epochs": 20}):
+                ...
+        """
+        saved = {}
+        for name, over in section_overrides.items():
+            key = "_" + name
+            if key not in _KEY_TO_SETTINGS_CLASS:
+                raise KeyError(f"unknown settings section: {name!r}")
+            saved[key] = getattr(self, key)
+            setattr(self, key, dataclasses.replace(self._get(key), **dict(over)))
+        try:
+            yield self
+        finally:
+            for key, val in saved.items():
+                setattr(self, key, val)
 
     def to_dict(self) -> dict:
         return {key.lstrip("_"): self._get(key).to_dict() for key in _KEY_TO_SETTINGS_CLASS}

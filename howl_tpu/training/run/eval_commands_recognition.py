@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import csv
 import json
-import os
 import sys
 from pathlib import Path
 
@@ -17,15 +16,14 @@ from howl_tpu.settings import SETTINGS
 from howl_tpu.utils.args_utils import ArgumentParserBuilder, opt
 from howl_tpu.utils.logger import Logger
 
-PROTOCOL_ENV = {
-    "NUM_EPOCHS": "20",
-    "BATCH_SIZE": "64",
-    "MAX_WINDOW_SIZE_SECONDS": "1",
-    "EVAL_WINDOW_SIZE_SECONDS": "1",
-    "NUM_MELS": "40",
+PROTOCOL_TRAINING = {
+    "num_epochs": 20,
+    "batch_size": 64,
+    "max_window_size_seconds": 1.0,
+    "eval_window_size_seconds": 1.0,
 }
-MODEL_LR = {"res8": "0.01"}
-DEFAULT_LR = "0.001"
+MODEL_LR = {"res8": 0.01}
+DEFAULT_LR = 0.001
 
 
 def run(args=None) -> dict:
@@ -40,10 +38,14 @@ def run(args=None) -> dict:
         opt("--num-models", "-n", type=int, default=1, help="seeds per model"),
         opt("--num-labels", type=int, default=12),
         opt("--vocab", type=str, default=None, help="JSON list; default GSC-10 command words"),
+        opt("--epochs", type=int, default=None, help="override the protocol's 20 epochs"),
+        opt("--batch-size", type=int, default=None, help="override the protocol's batch 64"),
     )
     args = apb.parser.parse_args(args)
 
-    vocab = args.vocab or '["yes","no","up","down","left","right","on","off","stop","go"]'
+    vocab = json.loads(args.vocab) if args.vocab else [
+        "yes", "no", "up", "down", "left", "right", "on", "off", "stop", "go",
+    ]
     base = Path(args.workspace)
 
     from howl_tpu.training.run.pretrain_gsc import run as gsc_run
@@ -53,17 +55,26 @@ def run(args=None) -> dict:
         accs = []
         for seed in range(args.num_models):
             ws = base / model / f"seed_{seed}"
-            env = dict(PROTOCOL_ENV)
-            env["LEARNING_RATE"] = MODEL_LR.get(model, DEFAULT_LR)
-            env["SEED"] = str(seed)
-            env["VOCAB"] = vocab
-            if args.dataset_path:
-                env["DATASET_PATH"] = args.dataset_path
-            os.environ.update(env)
-            SETTINGS.reset()
-            out = gsc_run(
-                ["--model", model, "--workspace", str(ws), "--num-labels", str(args.num_labels)]
+            # explicit scoped overrides — no os.environ mutation, no reset()
+            # (the reference exported env vars per child process instead,
+            # ref eval_commands_recognition.py:66-78)
+            training = dict(
+                PROTOCOL_TRAINING,
+                seed=seed,
+                vocab=list(vocab),
+                learning_rate=MODEL_LR.get(model, DEFAULT_LR),
             )
+            if args.epochs is not None:
+                training["num_epochs"] = args.epochs
+            if args.batch_size is not None:
+                training["batch_size"] = args.batch_size
+            scope = {"training": training, "audio_transform": {"num_mels": 40}}
+            if args.dataset_path:
+                scope["dataset"] = {"dataset_path": args.dataset_path}
+            with SETTINGS.scoped(**scope):
+                out = gsc_run(
+                    ["--model", model, "--workspace", str(ws), "--num-labels", str(args.num_labels)]
+                )
             accs.append(out["test_acc"])
         arr = np.asarray(accs)
         results[model] = {

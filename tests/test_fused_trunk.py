@@ -189,3 +189,37 @@ def test_fused_trunk_with_timestretch_and_noise(tmp_path, monkeypatch):
     # pipeline completes through every stage: clean + noisy eval sets scored
     assert {"dev_pos", "dev_neg", "test_pos", "test_neg", "dev_noisy_pos", "test_noisy_neg"} <= set(results)
     assert (tmp_path / "ws" / "model-best.flax").exists()
+
+
+def test_fused_infer_batch_matches_two_stage_path():
+    """infer_batch runs scoring -> weights -> validity -> smoothing+FSM as ONE
+    jitted dispatch; it must agree exactly with the cached-posterior path
+    (score_batch + detect_from_scores), including threshold overrides and
+    partial-length masking."""
+    import numpy as np
+
+    engine, _, _ = _res8_engine(clip_samples=24000)
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal((5, 24000)).astype(np.float32) * 0.1
+    lengths = np.array([24000, 9000, 24000, 1500, 20000], np.int32)
+
+    for threshold in (None, 0.0, 0.35, 0.9):
+        fused = engine.infer_batch(audio, lengths=lengths, threshold=threshold)
+        scores = engine.score_batch(audio, lengths=lengths)
+        staged = engine.detect_from_scores(scores, threshold=threshold)
+        np.testing.assert_array_equal(np.asarray(fused["detected"]), np.asarray(staged["detected"]))
+        np.testing.assert_array_equal(np.asarray(fused["labels"]), np.asarray(staged["labels"]))
+        np.testing.assert_array_equal(np.asarray(fused["fired"]), np.asarray(staged["fired"]))
+        np.testing.assert_array_equal(
+            np.asarray(fused["first_fire_step"]), np.asarray(staged["first_fire_step"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["probs"]), np.asarray(staged["probs"]), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(fused["times_ms"], staged["times_ms"])
+
+    # lengths=None == full-length lengths (the fused mask reduces to all-true)
+    full = engine.infer_batch(audio)
+    explicit = engine.infer_batch(audio, lengths=np.full((5,), 24000, np.int32))
+    np.testing.assert_array_equal(np.asarray(full["detected"]), np.asarray(explicit["detected"]))
+    np.testing.assert_array_equal(np.asarray(full["labels"]), np.asarray(explicit["labels"]))
