@@ -58,6 +58,7 @@ class StreamingEngine:
         spec: Optional[ModelSpec] = None,
         compute_dtype=None,
         fused_trunk: Optional[bool] = None,
+        use_pallas_frontend: bool = False,
     ):
         """``compute_dtype=jnp.bfloat16`` casts features and model parameters
         for scoring — roughly doubles MXU conv throughput on TPU; posteriors
@@ -92,9 +93,17 @@ class StreamingEngine:
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
         import jax as _jax
 
+        # the fused Pallas frontend kernel is kept as an opt-in: measured on
+        # v5e (tools/bench_frontend_variants.py) XLA's own GEMM chain with
+        # power/mel/log fused around it beats the hand-tiled Mosaic kernel at
+        # these shapes (9.8 ms vs 21.5 ms per 512x8 s batch)
         self._use_pallas = (
-            not self.spec.uses_deltas and _jax.devices()[0].platform == "tpu"
+            use_pallas_frontend and not self.spec.uses_deltas and _jax.devices()[0].platform == "tpu"
         )
+        # serving DFT precision: HIGH once bf16 scoring was requested (the
+        # smoothing tolerance already absorbs that grade of drift), exact
+        # HIGHEST otherwise
+        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
         # window/stride in whole frames (deviation 2 above)
         hop = frontend.hop_length
         self.window_frames = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate) // hop + 1
@@ -113,20 +122,19 @@ class StreamingEngine:
     # ---- scoring ----
 
     def _featurize(self, audio: jnp.ndarray) -> jnp.ndarray:
-        if self._use_pallas:
-            # fused Pallas frontend: log-mel + ZMUV in one kernel pass. Models
-            # that ignore delta channels get a single-channel tensor (their
-            # forward slices channel 0 anyway). ~11x faster than the XLA chain
-            # on v5e.
+        if self.spec.uses_deltas:
+            feats = log_mel_spectrogram(audio, self.frontend, stacked=True)  # (B, 3, F, T)
+            feats = (feats - self.zmuv_mean) / self.zmuv_std
+        elif self._use_pallas:
+            # opt-in fused Pallas kernel: log-mel + ZMUV in one kernel pass
             from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
 
-            mels = log_mel_spectrogram_pallas(audio, self.frontend, self.zmuv_mean, self.zmuv_std)
-            feats = mels[:, None, :, :]  # (B, 1, F, T)
-            if self.compute_dtype is not None:
-                feats = feats.astype(self.compute_dtype)
-            return feats
-        feats = log_mel_spectrogram(audio, self.frontend, stacked=True)  # (B, 3, F, T)
-        feats = (feats - self.zmuv_mean) / self.zmuv_std
+            feats = log_mel_spectrogram_pallas(audio, self.frontend, self.zmuv_mean, self.zmuv_std)[:, None]
+        else:
+            # models that only read channel 0 skip the delta stack entirely;
+            # XLA fuses the ZMUV affine into the log epilogue
+            mels = log_mel_spectrogram(audio, self.frontend, precision=self._dft_precision)
+            feats = ((mels - self.zmuv_mean) / self.zmuv_std)[:, None]  # (B, 1, F, T)
         if self.compute_dtype is not None:
             feats = feats.astype(self.compute_dtype)
         return feats

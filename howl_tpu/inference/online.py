@@ -37,6 +37,7 @@ class OnlineEngine:
         spec: Optional[ModelSpec] = None,
         num_streams: int = 1,
         compute_dtype=None,
+        use_pallas_frontend: bool = False,
     ):
         self.model = model
         self.variables = variables
@@ -51,7 +52,12 @@ class OnlineEngine:
         self.zmuv_mean = float(zmuv_mean)
         self.zmuv_std = float(zmuv_std)
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
-        self._use_pallas = not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
+        # opt-in, mirroring StreamingEngine: the XLA GEMM chain measured faster
+        # than the Mosaic kernel on v5e (see engine.py / tools)
+        self._use_pallas = (
+            use_pallas_frontend and not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
+        )
+        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
         self.num_streams = num_streams
         self.window_samples = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate)
         stride = cfg.eval_stride_size_ms
@@ -71,15 +77,18 @@ class OnlineEngine:
 
         @partial(jax.jit, static_argnames=())
         def step(variables, audio, state: DetectState, t_now, carry):
-            if self._use_pallas:
-                # fused mel+ZMUV kernel, same serving path as StreamingEngine
+            if spec.uses_deltas:
+                feats = log_mel_spectrogram(audio, frontend, stacked=True)
+                feats = (feats - self.zmuv_mean) / self.zmuv_std
+            elif self._use_pallas:
+                # opt-in fused mel+ZMUV kernel, same option as StreamingEngine
                 from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
 
                 mels = log_mel_spectrogram_pallas(audio, frontend, self.zmuv_mean, self.zmuv_std)
                 feats = mels[:, None, :, :]
             else:
-                feats = log_mel_spectrogram(audio, frontend, stacked=True)
-                feats = (feats - self.zmuv_mean) / self.zmuv_std
+                mels = log_mel_spectrogram(audio, frontend, precision=self._dft_precision)
+                feats = ((mels - self.zmuv_mean) / self.zmuv_std)[:, None]
             if self.compute_dtype is not None:
                 feats = feats.astype(self.compute_dtype)
             if spec.is_recurrent:

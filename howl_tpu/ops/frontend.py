@@ -167,15 +167,26 @@ def frame_signal(audio: jnp.ndarray, config: FrontendConfig) -> jnp.ndarray:
     return jnp.concatenate(pieces, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("config", "stacked"))
-def log_mel_spectrogram(audio: jnp.ndarray, config: FrontendConfig = FrontendConfig(), stacked: bool = False):
+@partial(jax.jit, static_argnames=("config", "stacked", "precision"))
+def log_mel_spectrogram(
+    audio: jnp.ndarray,
+    config: FrontendConfig = FrontendConfig(),
+    stacked: bool = False,
+    precision=None,
+):
     """(B, samples) float32 -> (B, n_mels, frames) log-mel spectrogram.
 
     ``stacked=True`` additionally returns delta/accel channels as
     (B, 3, n_mels, frames) matching the reference feature layout.
+
+    ``precision`` sets the DFT GEMM matmul precision (default HIGHEST — exact
+    oracle). Serving engines pass ``jax.lax.Precision.HIGH``: measured on v5e
+    it is ~1.2x faster end-to-end with 2.2e-4 above-floor log-mel error vs
+    HIGHEST (same grade as HIGHEST's own error vs the torchaudio goldens);
+    DEFAULT (1-pass bf16) loses the DFT cancellation and is not offered.
     """
     fb = jnp.asarray(mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max))
-    out = _mel_core(audio, fb, config)
+    out = _mel_core(audio, fb, config, precision=precision)
     return stack_deltas(out) if stacked else out
 
 
@@ -186,19 +197,20 @@ def log_mel_spectrogram_vtlp(audio: jnp.ndarray, alpha, config: FrontendConfig =
     return stack_deltas(out) if stacked else out
 
 
-def _mel_core(audio: jnp.ndarray, fb: jnp.ndarray, config: FrontendConfig) -> jnp.ndarray:
+def _mel_core(audio: jnp.ndarray, fb: jnp.ndarray, config: FrontendConfig, precision=None) -> jnp.ndarray:
     frames = frame_signal(audio.astype(jnp.float32), config)  # (B, T, n_fft)
     window = jnp.asarray(_hann_window(config.n_fft))
     frames = frames * window
     cos_m, sin_m = dft_matrices(config.n_fft)
-    # HIGHEST precision: the log compresses dynamic range, so bf16 MXU passes
-    # (the TPU f32-matmul default) would leak visible error into the features.
-    # These GEMMs are tiny next to the model convs, so the cost is negligible.
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(frames, jnp.asarray(cos_m), precision=hi)  # (B, T, n_freqs) — MXU GEMM
-    im = jnp.matmul(frames, jnp.asarray(sin_m), precision=hi)
+    # HIGHEST precision default: the log compresses dynamic range, so 1-pass
+    # bf16 MXU GEMMs (the TPU f32-matmul default) would leak visible error into
+    # the features. Serving passes HIGH (3-pass) — see log_mel_spectrogram.
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
+    re = jnp.matmul(frames, jnp.asarray(cos_m), precision=prec)  # (B, T, n_freqs) — MXU GEMM
+    im = jnp.matmul(frames, jnp.asarray(sin_m), precision=prec)
     power = re * re + im * im
-    mel = jnp.matmul(power, fb, precision=hi)  # (B, T, n_mels) — MXU GEMM
+    # mel GEMM stays HIGHEST: 1/8 of the DFT MACs, read directly by the log
+    mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
     return jnp.log(mel + config.log_offset).swapaxes(-1, -2)  # (B, n_mels, T)
 
 

@@ -1,0 +1,76 @@
+"""Validate bf16 + Precision.HIGH serving decisions against f32/HIGHEST on the
+REAL TPU, for every model family the engine serves.
+
+CPU tests cannot exercise the TPU's matmul-precision modes, so this is the
+hardware-side counterpart of tests/test_ctc_sweep_and_bf16.py: for each
+family it scores the same clip batch with the exact engine (f32 params,
+HIGHEST DFT) and the fast serving engine (bf16 params, HIGH DFT) and compares
+detections, first-fire steps, and per-step labels at a mid-scale threshold.
+
+Run (on the axon TPU): python tools/validate_tpu_decisions.py
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FAMILIES = ["res8", "small-cnn", "lstm", "gru", "las", "mobilenet"]
+
+
+def main():
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+
+    import jax
+    import jax.numpy as jnp
+
+    from howl_tpu.inference import EngineConfig, StreamingEngine
+    from howl_tpu.models import create_model
+    from howl_tpu.models.base import model_spec
+    from howl_tpu.ops.frontend import FrontendConfig
+    from howl_tpu.training.step import StepConfig, featurize
+
+    frontend = FrontendConfig(n_mels=40)
+    cfg = EngineConfig(
+        inference_sequence=(0, 1, 2),
+        max_window_size_ms=500.0,
+        eval_stride_size_ms=62.5,
+        negative_label=3,
+        num_labels=4,
+        inference_threshold=0.35,
+        sample_rate=16000,
+    )
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((16, 4 * 16000)).astype(np.float32) * 0.1
+    feats0 = featurize(
+        audio[:1, :8000], StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False)
+    )
+
+    all_ok = True
+    for name in FAMILIES:
+        model = create_model(name, num_labels=4)
+        variables = model.init({"params": jax.random.PRNGKey(hash(name) % 2**31)}, feats0, train=False)
+        spec = model_spec(name)
+        exact = StreamingEngine(model, variables, cfg, frontend, spec=spec)
+        fast = StreamingEngine(model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16)
+        a = exact.infer_batch(audio)
+        b = fast.infer_batch(audio)
+        det_eq = np.array_equal(np.asarray(a["detected"]), np.asarray(b["detected"]))
+        fire_eq = np.array_equal(np.asarray(a["first_fire_step"]), np.asarray(b["first_fire_step"]))
+        lab_a, lab_b = np.asarray(a["labels"]), np.asarray(b["labels"])
+        lab_frac = (lab_a == lab_b).mean()
+        ok = det_eq and fire_eq and lab_frac >= 0.99
+        all_ok &= ok
+        print(
+            f"{name:10s}: detected_eq={det_eq} first_fire_eq={fire_eq} "
+            f"label_agreement={lab_frac:.4f} -> {'OK' if ok else 'MISMATCH'}"
+        )
+    print("ALL OK" if all_ok else "MISMATCHES FOUND")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
