@@ -14,8 +14,10 @@ Prints ONE JSON line. The primary metric stays realtime factor; the same
 object also carries:
   * ``mfu`` — achieved fraction of the chip's bf16 peak, from the analytic
     FLOP count of the executed path (frontend GEMM-DFT+mel, trunk convs, head)
-  * ``online_streams_per_chip`` — concurrent live streams the single-window
-    OnlineEngine path sustains at the client's 62.5 ms cadence
+  * ``online_streams_per_chip`` — concurrent live streams the incremental
+    online path (featurize only the new hop per step, mel-frame ring in device
+    state) sustains at the client's 62.5 ms cadence; ``online_streams_full_window``
+    is the OnlineEngine path that re-featurizes the whole window each step
   * ``legacy_realtime_factor`` — the round-1 per-window mega-batch path, for
     an apples-to-apples view of the fused-trunk speedup
 """
@@ -184,7 +186,38 @@ def main():
     _ = np.asarray(fired)
     online_elapsed = time.perf_counter() - start
     steps_per_sec = n_streams * stream_steps / online_elapsed
-    streams_per_chip = steps_per_sec / (1000.0 / 62.5)  # 16 hops/s per live stream
+    full_window_streams = steps_per_sec / (1000.0 / 62.5)  # 16 hops/s per live stream
+
+    # ---- incremental online serving: featurize ONLY the new hop per step ----
+    from howl_tpu.inference.online import IncrementalOnlineEngine
+
+    inc = IncrementalOnlineEngine(
+        model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
+        num_streams=n_streams, compute_dtype=compute_dtype,
+    )
+
+    @jax.jit
+    def run_inc_steps(variables, buf, tail, ring, state, carry):
+        def body(sc, k):
+            tail, ring, st, ca = sc
+            off = (k % ring_hops) * inc.hop_samples
+            chunk = jax.lax.dynamic_slice(buf, (jnp.int32(0), off), (n_streams, inc.hop_samples))
+            tail, ring, st, _, fired, ca = inc._step(
+                variables, chunk, tail, ring, st, (k + 1).astype(jnp.float32) * inc.stride_ms, ca
+            )
+            return (tail, ring, st, ca), fired
+
+        ks = jnp.arange(stream_steps, dtype=jnp.int32)
+        (tail, ring, st, ca), fireds = jax.lax.scan(body, (tail, ring, state, carry), ks)
+        return tail, ring, st, ca, fireds[-1]
+
+    out = run_inc_steps(inc.variables, buf_dev, inc.tail, inc.mel_ring, inc.state, inc.carry)  # compile
+    _ = np.asarray(out[-1])
+    start = time.perf_counter()
+    out = run_inc_steps(inc.variables, buf_dev, *out[:4])
+    _ = np.asarray(out[-1])
+    inc_elapsed = time.perf_counter() - start
+    streams_per_chip = n_streams * stream_steps / inc_elapsed / (1000.0 / 62.5)
 
     print(
         json.dumps(
@@ -196,6 +229,7 @@ def main():
                 "mfu": round(mfu, 4),
                 "legacy_realtime_factor": round(legacy_rt, 1),
                 "online_streams_per_chip": int(streams_per_chip),
+                "online_streams_full_window": int(full_window_streams),
             }
         )
     )

@@ -1,9 +1,11 @@
 """Training-throughput benchmark (supplementary to bench.py's streaming metric).
 
 Measures the fused train step (on-device augmentation + VTLP frontend + res8 +
-CE + AdamW) in f32 and bf16 mixed precision on one chip, using the chained
-methodology (state threads through iterations naturally; one host fetch at the
-end). Prints one JSON line per configuration.
+CE + AdamW) in f32 and bf16 mixed precision on one chip. Iterations run as ONE
+lax.scan inside ONE jitted dispatch with a single host fetch (per-call dispatch
+latency through the dev relay otherwise dominates a step this small — a Python
+loop measured 8x slower than the device's true step time). Prints one JSON
+line per configuration.
 """
 
 from __future__ import annotations
@@ -14,12 +16,16 @@ import time
 import numpy as np
 
 
-def bench_config(name, model_kwargs, batch=128, window_samples=8000, iters=24):
+def bench_config(name, model_kwargs, batch=None, window_samples=8000, iters=None):
     from howl_tpu.utils.platform import ensure_platform
 
     ensure_platform()  # honor JAX_PLATFORMS=cpu despite the sitecustomize TPU pin
 
     import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch = batch or (128 if on_tpu else 8)
+    iters = iters or (24 if on_tpu else 3)
 
     from howl_tpu.models import create_model
     from howl_tpu.ops.augment import AugmentConfig
@@ -48,13 +54,27 @@ def bench_config(name, model_kwargs, batch=128, window_samples=8000, iters=24):
     lengths = jax.device_put(np.full(batch, window_samples, np.int32))
     key = jax.random.PRNGKey(1)
 
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(state, key, n):
+        def body(carry, _):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, audio, labels, lengths, sub)
+            return (state, key), metrics["loss"]
+
+        (state, key), losses = jax.lax.scan(body, (state, key), None, length=n)
+        return state, losses
+
     # warmup / compile; the state carry chains iterations (true dependency)
-    state, metrics = train_step(state, audio, labels, lengths, key)
-    _ = float(np.asarray(metrics["loss"]))
+    state, losses = run(state, key, n=iters)
+    _ = float(np.asarray(losses[-1]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, audio, labels, lengths, key)
-    final_loss = float(np.asarray(metrics["loss"]))
+    state, losses = run(state, key, n=iters)
+    final_loss = float(np.asarray(losses[-1]))
     elapsed = time.perf_counter() - t0
     steps_per_sec = iters / elapsed
     print(

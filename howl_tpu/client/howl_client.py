@@ -124,10 +124,12 @@ class HowlClient:
     # ---- construction ----
 
     @classmethod
-    def from_workspace(cls, workspace_path, model_name: str = None, source=None, **kwargs) -> "HowlClient":
+    def from_workspace(
+        cls, workspace_path, model_name: str = None, source=None, incremental: bool = False, **kwargs
+    ) -> "HowlClient":
         from howl_tpu.hub import load_workspace_engine
 
-        engine, ctx = load_workspace_engine(workspace_path, model_name)
+        engine, ctx = load_workspace_engine(workspace_path, model_name, incremental=incremental)
         return cls(engine=engine, context=ctx, source=source, **kwargs)
 
     def from_pretrained(self, name: str, models_path=None):
@@ -154,13 +156,24 @@ class HowlClient:
         self._ring.push_int16(chunk)
         self._chunks_total += 1
         self._chunks_since_infer += 1
-        if self._chunks_total < self._audio_buf_len:
-            return False  # ring still filling to the first 500 ms window
-        if self._chunks_total > self._audio_buf_len and self._chunks_since_infer < 2:
-            return False  # re-score every 2 chunks (62.5 ms hop)
-        self._chunks_since_infer = 0
-        window = self._ring.latest(self.chunk_size * self._audio_buf_len)
-        if self.engine.ingest(window):
+        incremental = hasattr(self.engine, "push")  # IncrementalOnlineEngine
+        if incremental:
+            # the engine keeps its own mel-frame ring; hand it only the new
+            # hop's samples, from the first hop on (its ring starts as silence)
+            hop_chunks = max(self.engine.hop_samples // self.chunk_size, 1)
+            if self._chunks_since_infer < hop_chunks:
+                return False
+            self._chunks_since_infer = 0
+            fired = self.engine.push(self._ring.latest(self.engine.hop_samples))
+        else:
+            if self._chunks_total < self._audio_buf_len:
+                return False  # ring still filling to the first 500 ms window
+            if self._chunks_total > self._audio_buf_len and self._chunks_since_infer < 2:
+                return False  # re-score every 2 chunks (62.5 ms hop)
+            self._chunks_since_infer = 0
+            window = self._ring.latest(self.chunk_size * self._audio_buf_len)
+            fired = self.engine.ingest(window)
+        if fired:
             if self._infer_detected:
                 return False
             self._infer_detected = True

@@ -33,9 +33,17 @@ PRETRAINED_MODELS = {
 
 
 def load_workspace_engine(
-    workspace_path, model_name: Optional[str] = None, best: bool = True, num_streams: int = 1
+    workspace_path,
+    model_name: Optional[str] = None,
+    best: bool = True,
+    num_streams: int = 1,
+    incremental: bool = False,
 ) -> Tuple[OnlineEngine, InferenceContext]:
-    """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84)."""
+    """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84).
+
+    ``incremental=True`` returns an IncrementalOnlineEngine instead: it keeps
+    a mel-frame ring in device state and featurizes only each hop's new audio
+    (HowlClient supports both transparently)."""
     workspace = Workspace(Path(workspace_path), delete_existing=False)
     settings = workspace.load_settings(SETTINGS)
 
@@ -66,7 +74,12 @@ def load_workspace_engine(
     variables = workspace.load_model(variables, best=best)
 
     cfg = EngineConfig.from_settings(ctx)
-    engine = OnlineEngine(
+    engine_cls = OnlineEngine
+    if incremental:
+        from howl_tpu.inference.online import IncrementalOnlineEngine
+
+        engine_cls = IncrementalOnlineEngine
+    engine = engine_cls(
         model,
         variables,
         cfg,

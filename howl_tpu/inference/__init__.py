@@ -2,5 +2,12 @@
 
 from howl_tpu.inference.config import EngineConfig
 from howl_tpu.inference.engine import StreamingEngine, WholeClipEngine
+from howl_tpu.inference.online import IncrementalOnlineEngine, OnlineEngine
 
-__all__ = ["EngineConfig", "StreamingEngine", "WholeClipEngine"]
+__all__ = [
+    "EngineConfig",
+    "IncrementalOnlineEngine",
+    "OnlineEngine",
+    "StreamingEngine",
+    "WholeClipEngine",
+]

@@ -130,3 +130,135 @@ class OnlineEngine:
     def infer(self, window_audio: np.ndarray) -> bool:
         """Reference-API-shaped alias for ingest()."""
         return self.ingest(window_audio)
+
+
+class IncrementalOnlineEngine:
+    """Streaming engine that featurizes ONLY the new audio each step.
+
+    OnlineEngine re-featurizes the whole 0.5 s window every 62.5 ms hop
+    (41 frames at defaults, mirroring the reference client handing its full
+    ring buffer to ingest_frame — ref howl_client.py:85-94 + inference.py:
+    247-272). A stream only gains ``stride_frames`` new frames per hop (5 at
+    defaults), so this engine keeps a log-mel frame ring in device state,
+    computes just those frames from the newly pushed samples (+ a short audio
+    tail), and scores the ring window — an ~8x frontend FLOP cut per step.
+
+    The tail length is chosen so stream frame boundaries land exactly on the
+    centered-frame grid of the batched engine's clip-level featurization
+    (``tail ≡ n_fft/2 (mod hop)`` with ``n_fft - hop <= tail < n_fft``):
+    once the startup frames roll out of the ring, ring contents are bit-exact
+    with ``log_mel_spectrogram(stream, center=True)`` frames, so offline
+    training/eval features and live serving features match exactly. The
+    newest scored frame lags the stream head by ``n_fft - tail`` samples
+    (9 ms at defaults).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        cfg: EngineConfig,
+        frontend: FrontendConfig,
+        zmuv_mean: float = 0.0,
+        zmuv_std: float = 1.0,
+        spec: Optional[ModelSpec] = None,
+        num_streams: int = 1,
+        compute_dtype=None,
+    ):
+        import dataclasses
+
+        self.model = model
+        self.variables = variables
+        self.compute_dtype = compute_dtype
+        if compute_dtype is not None:
+            self.variables = jax.tree.map(
+                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+                variables,
+            )
+        self.cfg = cfg
+        self.frontend = frontend
+        self.zmuv_mean = float(zmuv_mean)
+        self.zmuv_std = float(zmuv_std)
+        self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
+        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
+        self.num_streams = num_streams
+
+        hop, n_fft, sr = frontend.hop_length, frontend.n_fft, cfg.sample_rate
+        self.window_frames = int(cfg.max_window_size_ms / 1000 * sr) // hop + 1
+        self.stride_frames = max(1, round(cfg.eval_stride_size_ms / 1000 * sr / hop))
+        self.stride_ms = self.stride_frames * hop / sr * 1000.0
+        self.hop_samples = self.stride_frames * hop
+        # smallest tail in [n_fft - hop, n_fft) with tail ≡ n_fft//2 (mod hop):
+        # exactly stride_frames complete frames per push, on the centered grid
+        base = n_fft - hop
+        self.tail_samples = base + ((n_fft // 2 - base) % hop)
+        self._frontend_nc = dataclasses.replace(frontend, center=False)
+
+        stride = self.stride_ms
+        self._s_steps = max(int(cfg.smoothing_window_ms // max(stride, 1e-6)) + 1, 1)
+        self._w_steps = max(int(cfg.inference_window_ms // max(stride, 1e-6)) + 1, 1)
+        self._step = self._build_step()
+        self.reset()
+
+    def reset(self):
+        n, f, w = self.num_streams, self.frontend.n_mels, self.window_frames
+        # ring starts as featurized silence (the ZMUV'd log of the offset),
+        # matching what a zeroed audio ring buffer would featurize to
+        silence = (float(np.log(self.frontend.log_offset)) - self.zmuv_mean) / self.zmuv_std
+        self.mel_ring = jnp.full((n, f, w), silence, jnp.float32)
+        self.tail = jnp.zeros((n, self.tail_samples), jnp.float32)
+        self.state = init_state(n, self.cfg.num_labels, self._s_steps, self._w_steps)
+        self.carry = None
+        self.curr_time = 0.0
+        self.last_labels = None
+
+    def _build_step(self):
+        from howl_tpu.ops.frontend import log_mel_spectrogram as _logmel
+
+        model, cfg, spec = self.model, self.cfg, self.spec
+        stride, tail_len = self.stride_frames, self.tail_samples
+
+        @jax.jit
+        def step(variables, new_audio, tail, ring, state: DetectState, t_now, carry):
+            buf = jnp.concatenate([tail, new_audio], axis=-1)
+            mels = _logmel(buf, self._frontend_nc, precision=self._dft_precision)  # (N, F, stride)
+            mels = (mels - self.zmuv_mean) / self.zmuv_std
+            ring = jnp.concatenate([ring[..., stride:], mels], axis=-1)  # oldest -> newest
+            feats = ring[:, None]
+            if self.compute_dtype is not None:
+                feats = feats.astype(self.compute_dtype)
+            if spec.is_recurrent:
+                out, new_carry = model.apply(variables, feats, train=False, carry=carry, return_carry=True)
+            else:
+                out = model.apply(variables, feats, train=False)
+                new_carry = carry
+            if out.ndim == 3:  # sequential model: last frame's logits
+                out = out[-1]
+            probs = jax.nn.softmax(out.astype(jnp.float32), -1)
+            probs = apply_inference_weights(probs, cfg)
+            valid = jnp.ones((new_audio.shape[0],), bool)
+            new_state, label, fired_now = detect_step(
+                state, probs, t_now, valid, cfg, check_offset_ms=self.stride_ms
+            )
+            return buf[..., -tail_len:], ring, new_state, label, fired_now, new_carry
+
+        return step
+
+    def push(self, new_audio: np.ndarray) -> bool:
+        """Feed the stream's newest ``hop_samples`` samples per stream; True if
+        the wakeword fired this step.
+
+        new_audio: (hop_samples,) or (num_streams, hop_samples) float32.
+        """
+        audio = np.asarray(new_audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        if audio.shape != (self.num_streams, self.hop_samples):
+            raise ValueError(f"push expects {(self.num_streams, self.hop_samples)}, got {audio.shape}")
+        self.tail, self.mel_ring, self.state, label, fired_now, self.carry = self._step(
+            self.variables, audio, self.tail, self.mel_ring, self.state,
+            jnp.float32(self.curr_time), self.carry,
+        )
+        self.curr_time += self.stride_ms
+        self.last_labels = label
+        return bool(np.asarray(fired_now).any())

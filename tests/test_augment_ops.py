@@ -1,0 +1,103 @@
+"""Waveform augmentation ops: semantic invariants of the slice-based
+implementations (timeshift = zero-filled roll; noise mixing = circular bank
+window), brute-force-checked on small shapes.
+
+These ops were rewritten from per-element take_along_axis gathers to vmapped
+contiguous dynamic slices (one index per row) for TPU; these tests pin that
+the semantics survived (ref TimeshiftTransform transform.py:120-144,
+DatasetMixer transform.py:199-232).
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from howl_tpu.ops.augment import AugmentConfig, mix_noise_bank, timeshift
+
+
+def _roll_zero(row: np.ndarray, s: int) -> np.ndarray:
+    """Shift right by s (left if negative), zero-filling — the op's contract."""
+    out = np.zeros_like(row)
+    n = row.shape[0]
+    if s >= 0:
+        out[s:] = row[: n - s]
+    else:
+        out[: n + s] = row[-s:]
+    return out
+
+
+def test_timeshift_is_zero_filled_roll():
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0, timeshift_max_s=0.25, sample_rate=64)
+    n, b = 64, 16
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((b, n)).astype(np.float32)
+    out = np.asarray(timeshift(jnp.asarray(audio), jax.random.PRNGKey(1), cfg))
+    max_shift = min(int(0.25 * 64), n // 2)
+    for i in range(b):
+        matches = [
+            s for s in range(-max_shift, max_shift + 1)
+            if np.allclose(out[i], _roll_zero(audio[i], s), atol=1e-6)
+        ]
+        assert matches, f"row {i} is not any zero-filled roll of the input"
+
+
+def test_timeshift_prob_zero_is_identity():
+    cfg = dataclasses.replace(AugmentConfig(), prob=0.0)
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((4, 128)).astype(np.float32)
+    out = np.asarray(timeshift(jnp.asarray(audio), jax.random.PRNGKey(3), cfg))
+    np.testing.assert_array_equal(out, audio)
+
+
+def test_mix_replace_yields_exact_circular_bank_windows():
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0)
+    n, b = 48, 8
+    rng = np.random.default_rng(4)
+    bank = rng.standard_normal((5, 96)).astype(np.float32)
+    audio = rng.standard_normal((b, n)).astype(np.float32)
+    mixed, replaced = mix_noise_bank(
+        jnp.asarray(audio), jax.random.PRNGKey(5), jnp.asarray(bank), cfg, replace_prob=1.0
+    )
+    mixed, replaced = np.asarray(mixed), np.asarray(replaced)
+    assert replaced.all()
+    doubled = np.concatenate([bank, bank], axis=1)
+    for i in range(b):
+        found = any(
+            np.allclose(mixed[i], doubled[r, o : o + n], atol=1e-6)
+            for r in range(bank.shape[0])
+            for o in range(bank.shape[1])
+        )
+        assert found, f"row {i} is not a circular window of any bank row"
+
+
+def test_mix_window_longer_than_bank_wraps():
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0)
+    n, b = 40, 4
+    rng = np.random.default_rng(6)
+    bank = rng.standard_normal((3, 16)).astype(np.float32)  # bank shorter than window
+    audio = rng.standard_normal((b, n)).astype(np.float32)
+    mixed, _ = mix_noise_bank(
+        jnp.asarray(audio), jax.random.PRNGKey(7), jnp.asarray(bank), cfg, replace_prob=1.0
+    )
+    mixed = np.asarray(mixed)
+    tiled = np.concatenate([bank] * 4, axis=1)
+    for i in range(b):
+        found = any(
+            np.allclose(mixed[i], tiled[r, o : o + n], atol=1e-6)
+            for r in range(bank.shape[0])
+            for o in range(bank.shape[1])
+        )
+        assert found, f"row {i} does not wrap the short bank correctly"
+
+
+def test_mix_alpha_zero_prob_keeps_audio():
+    cfg = dataclasses.replace(AugmentConfig(), prob=0.0)
+    rng = np.random.default_rng(8)
+    bank = rng.standard_normal((2, 64)).astype(np.float32)
+    audio = rng.standard_normal((4, 32)).astype(np.float32)
+    mixed, replaced = mix_noise_bank(jnp.asarray(audio), jax.random.PRNGKey(9), jnp.asarray(bank), cfg)
+    np.testing.assert_allclose(np.asarray(mixed), audio, atol=1e-7)
+    assert not np.asarray(replaced).any()

@@ -124,3 +124,29 @@ def test_hub_errors(tmp_path):
         load_pretrained("hey_fire_fox", models_path=None)  # no HOWL_MODELS_PATH
     with pytest.raises(FileNotFoundError):
         load_workspace_engine(tmp_path / "empty_ws", "res8")
+
+
+@pytest.mark.slow
+def test_client_with_incremental_engine(trained_workspace, monkeypatch):
+    """HowlClient over the IncrementalOnlineEngine (mel ring + per-hop
+    featurization) detects positives and rejects negatives like the
+    full-window path."""
+    ws, corpus, env = trained_workspace
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.client.howl_client import FileAudioSource, HowlClient
+
+    pos_wavs = sorted((corpus / "audio").glob("pos_*.wav"))[:3]
+    neg_wavs = sorted((corpus / "audio").glob("neg_*.wav"))[:3]
+
+    client = HowlClient.from_workspace(ws, "res8", source=FileAudioSource(pos_wavs), incremental=True)
+    assert hasattr(client.engine, "push")
+    client.start().join()
+    assert client.detections >= 2, f"expected detections on positive clips, got {client.detections}"
+
+    client2 = HowlClient.from_workspace(ws, "res8", source=FileAudioSource(neg_wavs), incremental=True)
+    client2.start().join()
+    assert client2.detections == 0

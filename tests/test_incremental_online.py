@@ -1,0 +1,114 @@
+"""IncrementalOnlineEngine: per-hop featurization is bit-compatible with the
+batched engine's clip-level centered frames, and window scores match a direct
+model application on those frames.
+
+The engine's claim (online.py): its log-mel ring, filled hop by hop from live
+audio, equals ``log_mel_spectrogram(stream, center=True)`` frames exactly once
+startup frames roll out — so offline train/eval features and live serving
+features are the same tensors.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from howl_tpu.inference import EngineConfig, IncrementalOnlineEngine
+from howl_tpu.models import create_model
+from howl_tpu.models.base import model_spec
+from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+from howl_tpu.training.step import StepConfig, featurize
+
+CFG = EngineConfig(
+    inference_sequence=(0, 1, 2),
+    max_window_size_ms=500.0,
+    eval_stride_size_ms=62.5,
+    negative_label=3,
+    num_labels=4,
+    inference_threshold=0.0,
+    sample_rate=16000,
+)
+FRONTEND = FrontendConfig(n_mels=40)
+
+
+def _make(model_name="res8", num_streams=1):
+    model = create_model(model_name, num_labels=4)
+    feats0 = featurize(
+        np.zeros((1, 8000), np.float32),
+        StepConfig(frontend=FRONTEND, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(3)}, feats0, train=False)
+    eng = IncrementalOnlineEngine(
+        model, variables, CFG, FRONTEND, spec=model_spec(model_name), num_streams=num_streams
+    )
+    return eng, model, variables
+
+
+def test_geometry():
+    eng, _, _ = _make()
+    n_fft, hop = FRONTEND.n_fft, FRONTEND.hop_length
+    assert eng.stride_frames == 5 and eng.hop_samples == 1000
+    assert n_fft - hop <= eng.tail_samples < n_fft
+    assert eng.tail_samples % hop == (n_fft // 2) % hop
+    # exactly stride_frames complete frames per push
+    assert (eng.tail_samples + eng.hop_samples - n_fft) // hop + 1 == eng.stride_frames
+
+
+def test_ring_matches_clip_level_centered_frames():
+    eng, _, _ = _make()
+    rng = np.random.default_rng(0)
+    clip = rng.standard_normal((1, 48000)).astype(np.float32) * 0.1
+
+    n_push = clip.shape[-1] // eng.hop_samples
+    for k in range(n_push):
+        eng.push(clip[:, k * eng.hop_samples : (k + 1) * eng.hop_samples])
+
+    ring = np.asarray(eng.mel_ring)[0]  # (F, W)
+    ref = np.asarray(log_mel_spectrogram(clip, FRONTEND))[0]  # (F, T) centered
+    # newest ring frame is centered frame t_end = stride*k - shift (see online.py)
+    shift = (eng.tail_samples + FRONTEND.hop_length - FRONTEND.n_fft // 2) // FRONTEND.hop_length
+    t_end = eng.stride_frames * n_push - shift
+    expected = ref[:, t_end - eng.window_frames + 1 : t_end + 1]
+    np.testing.assert_allclose(ring, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_labels_match_direct_window_scoring():
+    eng, model, variables = _make()
+    rng = np.random.default_rng(1)
+    clip = rng.standard_normal((1, 40000)).astype(np.float32) * 0.1
+    ref = np.asarray(log_mel_spectrogram(clip, FRONTEND))[0]  # (F, T)
+
+    shift = (eng.tail_samples + FRONTEND.hop_length - FRONTEND.n_fft // 2) // FRONTEND.hop_length
+    n_push = clip.shape[-1] // eng.hop_samples
+    got, want = [], []
+    for k in range(1, n_push + 1):
+        eng.push(clip[:, (k - 1) * eng.hop_samples : k * eng.hop_samples])
+        t_end = eng.stride_frames * k - shift
+        start = t_end - eng.window_frames + 1
+        if start < 2:  # startup: ring still holds silence-init / zero-pad frames
+            continue
+        got.append(int(np.asarray(eng.last_labels)[0]))
+        window = ref[:, start : t_end + 1][None, None]  # (1, 1, F, W)
+        logits = model.apply(variables, jnp.asarray(window), train=False)
+        probs = np.asarray(jax.nn.softmax(logits, -1))[0]
+        # smoothing window (50 ms) < stride (62.5 ms) -> label is the argmax
+        # of this step's posterior alone (threshold 0)
+        want.append(int(probs.argmax()))
+    assert got == want and len(got) >= 25
+
+
+def test_multistream_and_recurrent_push():
+    eng, _, _ = _make("lstm", num_streams=3)
+    rng = np.random.default_rng(2)
+    for _ in range(6):
+        fired = eng.push(rng.standard_normal((3, eng.hop_samples)).astype(np.float32) * 0.05)
+        assert isinstance(fired, bool)
+    assert eng.carry is not None  # recurrent state threads across pushes
+    assert np.asarray(eng.last_labels).shape == (3,)
+
+
+def test_push_shape_validation():
+    eng, _, _ = _make(num_streams=2)
+    with pytest.raises(ValueError):
+        eng.push(np.zeros((2, 999), np.float32))
