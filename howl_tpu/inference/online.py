@@ -149,8 +149,8 @@ class IncrementalOnlineEngine:
     once the startup frames roll out of the ring, ring contents are bit-exact
     with ``log_mel_spectrogram(stream, center=True)`` frames, so offline
     training/eval features and live serving features match exactly. The
-    newest scored frame lags the stream head by ``n_fft - tail`` samples
-    (9 ms at defaults).
+    newest scored frame ends ``tail + hop - n_fft`` samples behind the stream
+    head (144 samples = 9 ms at defaults).
     """
 
     def __init__(

@@ -112,3 +112,56 @@ def test_push_shape_validation():
     eng, _, _ = _make(num_streams=2)
     with pytest.raises(ValueError):
         eng.push(np.zeros((2, 999), np.float32))
+
+
+@pytest.mark.parametrize(
+    "stride_ms,n_mels,window_ms",
+    [
+        (62.5, 40, 500.0),   # defaults
+        (12.5, 40, 500.0),   # stride of a single frame
+        (62.5, 80, 500.0),   # 80-mel config
+        (125.0, 40, 750.0),  # the 0.75 s default window, coarser stride
+    ],
+)
+def test_ring_parity_across_geometries(stride_ms, n_mels, window_ms):
+    """The tail/phase math generalizes: ring == clip-level centered frames for
+    every (stride, n_mels, window) geometry, not just the flagship one."""
+    frontend = FrontendConfig(n_mels=n_mels)
+    cfg = EngineConfig(
+        inference_sequence=(0, 1),
+        max_window_size_ms=window_ms,
+        eval_stride_size_ms=stride_ms,
+        negative_label=3,
+        num_labels=4,
+        sample_rate=16000,
+    )
+    model = create_model("small-cnn", num_labels=4)
+    window_samples = int(window_ms / 1000 * 16000)
+    feats0 = featurize(
+        np.zeros((1, window_samples), np.float32),
+        StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    eng = IncrementalOnlineEngine(
+        model, variables, cfg, frontend, spec=model_spec("small-cnn"), num_streams=1
+    )
+
+    # geometry invariants
+    n_fft, hop = frontend.n_fft, frontend.hop_length
+    assert n_fft - hop <= eng.tail_samples < n_fft
+    assert eng.tail_samples % hop == (n_fft // 2) % hop
+    assert (eng.tail_samples + eng.hop_samples - n_fft) // hop + 1 == eng.stride_frames
+
+    rng = np.random.default_rng(10)
+    clip = rng.standard_normal((1, 32000)).astype(np.float32) * 0.1
+    n_push = clip.shape[-1] // eng.hop_samples
+    for k in range(n_push):
+        eng.push(clip[:, k * eng.hop_samples : (k + 1) * eng.hop_samples])
+
+    ring = np.asarray(eng.mel_ring)[0]
+    ref = np.asarray(log_mel_spectrogram(clip, frontend))[0]
+    shift = (eng.tail_samples + hop - n_fft // 2) // hop
+    t_end = eng.stride_frames * n_push - shift
+    start = t_end - eng.window_frames + 1
+    assert start >= 2, "clip too short for a fully-refreshed ring"
+    np.testing.assert_allclose(ring, ref[:, start : t_end + 1], rtol=1e-5, atol=1e-5)
