@@ -103,6 +103,37 @@ def dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
+def nyquist_crop_bins(config: "FrontendConfig") -> int:
+    """Number of DFT bins the mel projection actually reads.
+
+    For even ``n_fft`` the top mel triangle ends exactly at the Nyquist
+    frequency, so the Nyquist bin's filterbank weight is identically zero
+    (up-slope hits its endpoint; `mel_filterbank` clamps to 0) and bin
+    ``n_fft // 2`` can be dropped from the DFT. That makes the combined
+    [cos|sin] windowed-DFT matrix square — (512, 512) at the default
+    geometry: exact 128-lane MXU tiles with no padding waste, where the
+    separate 257-bin matrices each padded 257 -> 384 lanes (1.5x dead MXU
+    work). Verified against the full-width oracle (incl. VTLP warps) in
+    tests/test_frontend.py.
+    """
+    return config.n_fft // 2 if config.n_fft % 2 == 0 else config.n_freqs
+
+
+def windowed_dft_matrix(n_fft: int, n_bins: int) -> np.ndarray:
+    """Combined windowed real-DFT basis, shape (n_fft, 2*n_bins).
+
+    Columns are [cos | -sin] pre-multiplied by the periodic Hann window
+    (built in float64, cast once), so ``frames @ W`` yields [re | im] of the
+    windowed rfft in ONE GEMM — the separate window multiply over the
+    2.56x-expanded frames tensor disappears entirely.
+    """
+    t = np.arange(n_fft, dtype=np.float64)[:, None] * np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * t / n_fft
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft, dtype=np.float64) / n_fft)
+    m = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1) * win[:, None]
+    return np.ascontiguousarray(m).astype(np.float32)
+
+
 @dataclass(frozen=True)
 class FrontendConfig:
     """Geometry of the log-mel frontend; defaults mirror SETTINGS.audio_transform."""
@@ -199,18 +230,25 @@ def log_mel_spectrogram_vtlp(audio: jnp.ndarray, alpha, config: FrontendConfig =
 
 def _mel_core(audio: jnp.ndarray, fb: jnp.ndarray, config: FrontendConfig, precision=None) -> jnp.ndarray:
     frames = frame_signal(audio.astype(jnp.float32), config)  # (B, T, n_fft)
-    window = jnp.asarray(_hann_window(config.n_fft))
-    frames = frames * window
-    cos_m, sin_m = dft_matrices(config.n_fft)
+    # Two windowed+cropped DFT GEMMs: Hann folded into the matrices (no
+    # separate window pass over the 2.56x-expanded frames) and the Nyquist bin
+    # cropped — its mel weight is identically zero, see nyquist_crop_bins.
+    # Measured on v5e (tools/bench_frontend_variants.py): this 3D-batched
+    # two-matrix form beats both the single combined (n_fft, 2*n_bins) GEMM
+    # and a flattened-2D form; the chain is HBM-bound, so folding the window
+    # pass is worth more than GEMM-shape games.
+    n_bins = nyquist_crop_bins(config)
+    w = jnp.asarray(windowed_dft_matrix(config.n_fft, n_bins))
+    cw, sw = w[:, :n_bins], w[:, n_bins:]
     # HIGHEST precision default: the log compresses dynamic range, so 1-pass
     # bf16 MXU GEMMs (the TPU f32-matmul default) would leak visible error into
     # the features. Serving passes HIGH (3-pass) — see log_mel_spectrogram.
     prec = jax.lax.Precision.HIGHEST if precision is None else precision
-    re = jnp.matmul(frames, jnp.asarray(cos_m), precision=prec)  # (B, T, n_freqs) — MXU GEMM
-    im = jnp.matmul(frames, jnp.asarray(sin_m), precision=prec)
+    re = jnp.matmul(frames, cw, precision=prec)  # (B, T, n_bins) — MXU GEMM
+    im = jnp.matmul(frames, sw, precision=prec)
     power = re * re + im * im
-    # mel GEMM stays HIGHEST: 1/8 of the DFT MACs, read directly by the log
-    mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
+    # mel GEMM stays HIGHEST: ~1/16 of the DFT MACs, read directly by the log
+    mel = jnp.matmul(power, fb[:n_bins], precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
     return jnp.log(mel + config.log_offset).swapaxes(-1, -2)  # (B, n_mels, T)
 
 

@@ -3,18 +3,35 @@
 The reference's torchaudio chain (MelSpectrogram -> +eps -> log -> ZMUV,
 ref: howl/data/transform/transform.py:249-275, operator.py:145) runs as
 separate kernels with HBM round-trips between every stage. Here the whole math
-pipeline — Hann window, real-DFT as two MXU GEMMs, power spectrum, mel
-filterbank GEMM, log, ZMUV normalize — is ONE Pallas kernel: each (128, n_fft)
-frame block is read from HBM exactly once and everything else stays in VMEM.
+pipeline — windowed real-DFT as ONE MXU GEMM, power spectrum, mel filterbank
+GEMM, log, ZMUV normalize — is a single Pallas kernel: each frame block is
+read from HBM exactly once and everything else stays in VMEM.
+
+Two design points make this kernel fast where its first iteration was not:
+
+  * the DFT uses the combined square windowed-DFT matrix (Hann folded in,
+    Nyquist bin cropped — its mel weight is identically zero, see
+    frontend.nyquist_crop_bins): (512, 512) at the default geometry, exact
+    128-lane MXU tiles. The earlier two-matrix form padded 257 -> 384 lanes,
+    1.5x dead MXU work per pass.
+  * precision is hand-rolled as single-pass bf16 GEMMs against hi/lo matrix
+    splits instead of Mosaic's 6-pass f32 emulation ("HIGHEST"):
+      - ``passes=3`` (default): x_hi@W_hi + x_lo@W_hi + x_hi@W_lo, dropping
+        only the lo*lo term (~2^-17 relative) — same error grade as the XLA
+        chain's Precision.HIGH, at 3 MXU passes with zero padding.
+      - ``passes=2``: x_bf16@W_hi + x_bf16@W_lo — frames quantized to bf16
+        (~2^-9), below the bf16 feature-cast noise the serving engines already
+        accept; 2 MXU passes.
+      - ``passes=6``: Mosaic's native f32 dot (oracle-grade, slowest).
+    The mel GEMM always runs the 3-pass split: it is ~1/16 of the DFT MACs
+    and its operands (power, triangle weights) are non-negative, so there is
+    no cancellation to protect with more passes.
 
 Framing (the overlapping gather audio[i*hop : i*hop+n_fft]) is left to XLA on
 purpose: hop=200 isn't lane-aligned, so in-kernel extraction would need
-unaligned vector loads Mosaic rejects ("index ... multiple of 1024"); a gather
-is pure data movement XLA already emits optimally, and it feeds the kernel a
-stride-regular (frames, n_fft) operand.
-
-Operand padding: freq bins 257 -> 384 lanes, mel bins -> 128 lanes; padded
-filterbank columns are zero so cropped outputs are exact.
+unaligned vector loads Mosaic rejects; frame_signal's reshape+slice+concat is
+pure contiguous data movement XLA emits optimally, and the audio is padded so
+the frame count lands on a block multiple (no extra full-tensor pad pass).
 
 The pure-jnp implementation in frontend.py is the correctness oracle; see
 tests/test_frontend_pallas.py.
@@ -30,9 +47,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from howl_tpu.ops.frontend import FrontendConfig, _hann_window, dft_matrices, mel_filterbank
+from howl_tpu.ops.frontend import (
+    FrontendConfig,
+    frame_signal,
+    mel_filterbank,
+    nyquist_crop_bins,
+    windowed_dft_matrix,
+)
 
-FRAME_BLOCK = 128
+FRAME_BLOCK = 256
 LANE = 128
 
 
@@ -40,47 +63,49 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _dot_bf16x3(x, a_hi, a_lo):
-    """f32-grade matmul from three single-pass bf16 MXU GEMMs.
+def _split_bf16(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """hi/lo bf16 decomposition: a ~ hi + lo with |lo| <= ulp(hi)/2."""
+    import ml_dtypes
 
-    Splits x into hi+lo bf16 halves and drops only the lo*lo cross term
-    (~2^-18 relative): x @ A ~ x_hi@A_hi + x_hi@A_lo + x_lo@A_hi. Mosaic has
-    no Precision.HIGH in-kernel; this is that 3-pass decomposition by hand.
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
 
-    Measured on the v5e (tools/validate_pallas_precision.py + bench.py):
-    accuracy is fine (log-mel error vs the torchaudio goldens 5e-3 above the
-    -10 floor; DEFAULT bf16 alone: >3.0 — the DFT cancellation dies; HIGHEST:
-    1.2e-4) but it is ~2.5x SLOWER than precision=HIGHEST through this stack —
-    Mosaic's native multi-pass f32 dot beats three separate bf16 dots with
-    VPU accumulation. Kept as an option; HIGHEST is the default.
-    """
-    x_hi = x.astype(jnp.bfloat16)
-    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+def _kernel(frames_ref, w_hi_ref, w_lo_ref, fb_hi_ref, fb_lo_ref, zmuv_ref, out_ref, *, passes, n_bins):
+    frames = frames_ref[:, :]  # (FRAME_BLOCK, n_fft); hann folded into W
     kw = dict(preferred_element_type=jnp.float32)
-    return jnp.dot(x_hi, a_hi, **kw) + (jnp.dot(x_hi, a_lo, **kw) + jnp.dot(x_lo, a_hi, **kw))
-
-
-def _kernel(frames_ref, *refs, precision):
-    """Operands after frames: bf16x3 mode gets (cos_hi, cos_lo, sin_hi,
-    sin_lo); plain-precision mode gets (cos, sin) — no dead zero matrices
-    streamed into VMEM. Trailing refs are always (fb, zmuv, out)."""
-    mat_refs, (fb_ref, zmuv_ref, out_ref) = refs[:-3], refs[-3:]
-    frames = frames_ref[:, :]  # (FRAME_BLOCK, n_fft); hann folded into DFT mats
-    if precision is None:  # bf16x3 option (measured slower than HIGHEST on v5e)
-        cos_hi_ref, cos_lo_ref, sin_hi_ref, sin_lo_ref = mat_refs
-        re = _dot_bf16x3(frames, cos_hi_ref[:, :], cos_lo_ref[:, :])
-        im = _dot_bf16x3(frames, sin_hi_ref[:, :], sin_lo_ref[:, :])
-    else:  # the default: exact f32 matrices at Mosaic's native multi-pass dot
-        cos_ref, sin_ref = mat_refs
-        re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
-        im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32, precision=precision)
-    power = re * re + im * im  # (FRAME_BLOCK, n_freqs_pad) — stays in VMEM
-    # mel GEMM stays HIGHEST: 1/8 of the DFT MACs, and power's wide dynamic
-    # range (no cancellation, but 8 decades) is what the log reads directly
-    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    if passes == 6:  # Mosaic's native multi-pass f32 dot (oracle-grade)
+        w = w_hi_ref[:, :].astype(jnp.float32) + w_lo_ref[:, :].astype(jnp.float32)
+        re_im = jnp.dot(frames, w, precision=jax.lax.Precision.HIGHEST, **kw)
+    elif passes == 3:  # f32-grade: drop only the lo*lo cross term (~2^-18)
+        x_hi = frames.astype(jnp.bfloat16)
+        x_lo = (frames - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        re_im = jnp.dot(x_hi, w_hi_ref[:, :], **kw) + (
+            jnp.dot(x_lo, w_hi_ref[:, :], **kw) + jnp.dot(x_hi, w_lo_ref[:, :], **kw)
+        )
+    else:  # passes == 2: frames at single bf16 rounding (~2^-9)
+        x = frames.astype(jnp.bfloat16)
+        re_im = jnp.dot(x, w_hi_ref[:, :], **kw) + jnp.dot(x, w_lo_ref[:, :], **kw)
+    re = re_im[:, :n_bins]
+    im = re_im[:, n_bins:]
+    power = re * re + im * im  # (FRAME_BLOCK, n_bins) — stays in VMEM
+    p_hi = power.astype(jnp.bfloat16)
+    p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mel = jnp.dot(p_hi, fb_hi_ref[:, :], **kw) + (
+        jnp.dot(p_lo, fb_hi_ref[:, :], **kw) + jnp.dot(p_hi, fb_lo_ref[:, :], **kw)
+    )
     mean = zmuv_ref[0]
     inv_std = zmuv_ref[1]
     out_ref[:, :] = (jnp.log(mel + 1e-7) - mean) * inv_std
+
+
+def _passes_for(precision) -> int:
+    if precision is None:
+        return 3
+    if precision == 2 or precision == "bf16x2":
+        return 2
+    return 6  # Precision.HIGHEST or anything else explicit
 
 
 @partial(jax.jit, static_argnames=("config", "interpret", "precision"))
@@ -90,83 +115,88 @@ def log_mel_spectrogram_pallas(
     zmuv_mean=0.0,
     zmuv_std=1.0,
     interpret: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """(B, samples) -> ZMUV-normalized (B, n_mels, frames) log-mels.
 
     Numerically matches ``(log_mel_spectrogram(audio) - mean) / std`` from the
     jnp reference (same center/reflect padding, Hann window, HTK mel).
-    ``precision=None`` selects the bf16x3 DFT path (f32-grade accuracy but
-    measured slower than HIGHEST on v5e — see _dot_bf16x3); the default
-    HIGHEST is both the fastest and the most faithful on this hardware.
+
+    ``precision``: ``None`` (default) = 3-pass hi/lo bf16 DFT (f32-grade,
+    fastest accurate mode); ``"bf16x2"`` = 2-pass with bf16 frames (error
+    below the serving engines' bf16 feature-cast floor — validate decision
+    equivalence per model); ``jax.lax.Precision.HIGHEST`` = Mosaic native f32
+    (oracle-grade, ~2x slower than 3-pass).
     """
     if audio.ndim == 1:
         audio = audio[None, :]
     b = audio.shape[0]
     hop, n_fft = config.hop_length, config.n_fft
     n_frames = config.num_frames(audio.shape[-1])
+    passes = _passes_for(precision)
 
-    # XLA-side framing (reshape+slice+concat, no gather) -> (B*T, n_fft)
-    from howl_tpu.ops.frontend import frame_signal
+    # pad audio so the per-row frame count lands on a block multiple: padding
+    # the (B, S) audio is ~2.6x cheaper than padding the framed tensor. The
+    # center reflect-pad must happen FIRST (on the true signal tail) — only
+    # then are zeros appended, so every real frame sees the oracle's padding.
+    t_pad = _round_up(n_frames, FRAME_BLOCK) if b * n_frames % FRAME_BLOCK else n_frames
+    frame_cfg = config
+    if t_pad != n_frames:
+        import dataclasses
 
-    frames = frame_signal(audio, config).reshape(b * n_frames, n_fft)
-    total = b * n_frames
-    total_pad = _round_up(total, FRAME_BLOCK)
-    frames = jnp.pad(frames, ((0, total_pad - total), (0, 0)))
+        if config.center:
+            pad = n_fft // 2
+            audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+            frame_cfg = dataclasses.replace(config, center=False)
+        extra = (t_pad - 1) * hop + n_fft - audio.shape[-1]
+        if extra > 0:
+            audio = jnp.pad(audio, ((0, 0), (0, extra)))
+    # XLA-side framing (reshape+slice+concat, no gather) -> (B*T_pad, n_fft)
+    frames = frame_signal(audio, frame_cfg)[:, :t_pad].reshape(b * t_pad, n_fft)
+    total = b * t_pad
 
-    n_freqs = config.n_freqs
-    n_freqs_pad = _round_up(n_freqs, LANE)
+    n_bins = nyquist_crop_bins(config)
     n_mels_pad = _round_up(config.n_mels, LANE)
 
-    cos_m, sin_m = dft_matrices(n_fft)
-    window = _hann_window(n_fft)[:, None]
-    cos_p = np.zeros((n_fft, n_freqs_pad), np.float32)
-    sin_p = np.zeros((n_fft, n_freqs_pad), np.float32)
-    cos_p[:, :n_freqs] = cos_m * window  # fold the hann window into the DFT
-    sin_p[:, :n_freqs] = sin_m * window
-    if precision is None:
-        # hi/lo bf16 splits of the DFT matrices (see _dot_bf16x3)
-        import ml_dtypes
-
-        def split_bf16(a):
-            hi = a.astype(ml_dtypes.bfloat16)
-            lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-            return hi, lo
-
-        cos_hi, cos_lo = split_bf16(cos_p)
-        sin_hi, sin_lo = split_bf16(sin_p)
-        dft_mats = [cos_hi, cos_lo, sin_hi, sin_lo]
-    else:
-        dft_mats = [cos_p, sin_p]
-    fb = mel_filterbank(n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max)
-    fb_p = np.zeros((n_freqs_pad, n_mels_pad), np.float32)
-    fb_p[:n_freqs, : config.n_mels] = fb
+    w = windowed_dft_matrix(n_fft, n_bins)  # (n_fft, 2*n_bins), hann folded in
+    w_hi, w_lo = _split_bf16(w)
+    fb = mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max)
+    fb_p = np.zeros((n_bins, n_mels_pad), np.float32)
+    fb_p[:, : config.n_mels] = fb[:n_bins]
+    fb_hi, fb_lo = _split_bf16(fb_p)
     zmuv = jnp.stack([jnp.float32(zmuv_mean), 1.0 / jnp.float32(zmuv_std)])
 
-    n_blocks = total_pad // FRAME_BLOCK
-    flops_per_block = 2 * FRAME_BLOCK * n_fft * n_freqs_pad * 2 + 2 * FRAME_BLOCK * n_freqs_pad * n_mels_pad
+    n_blocks = total // FRAME_BLOCK
+    dft_flops = 2 * FRAME_BLOCK * n_fft * 2 * n_bins * min(passes, 3)
+    mel_flops = 2 * FRAME_BLOCK * n_bins * n_mels_pad * 3
 
     out = pl.pallas_call(
-        partial(_kernel, precision=precision),
+        partial(_kernel, passes=passes, n_bins=n_bins),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((FRAME_BLOCK, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *[
-                pl.BlockSpec((n_fft, n_freqs_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-                for _ in dft_mats
-            ],
-            pl.BlockSpec((n_freqs_pad, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, 2 * n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, 2 * n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((FRAME_BLOCK, n_mels_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total_pad, n_mels_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total, n_mels_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_block * n_blocks,
-            bytes_accessed=(total_pad * n_fft + total_pad * n_mels_pad) * 4,
-            transcendentals=total_pad * n_mels_pad,
+            flops=(dft_flops + mel_flops) * n_blocks,
+            bytes_accessed=(total * n_fft + total * n_mels_pad) * 4,
+            transcendentals=total * n_mels_pad,
         ),
         interpret=interpret,
-    )(frames, *[jnp.asarray(m) for m in dft_mats], jnp.asarray(fb_p), zmuv)
+    )(
+        frames,
+        jnp.asarray(w_hi),
+        jnp.asarray(w_lo),
+        jnp.asarray(fb_hi),
+        jnp.asarray(fb_lo),
+        zmuv,
+    )
 
-    out = out[:total, : config.n_mels].reshape(b, n_frames, config.n_mels)
+    out = out[:, : config.n_mels].reshape(b, t_pad, config.n_mels)[:, :n_frames]
     return out.swapaxes(-1, -2)  # (B, n_mels, T)

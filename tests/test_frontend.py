@@ -133,3 +133,49 @@ def test_compute_lengths_parity(config):
     lengths = np.array([8000, 16000])
     out = np.asarray(config.compute_lengths(lengths))
     np.testing.assert_array_equal(out, [(8000 - 512) // 200 + 1, (16000 - 512) // 200 + 1])
+
+
+def test_nyquist_bin_mel_weight_is_zero(config):
+    """The crop in nyquist_crop_bins is exact: for even n_fft the Nyquist
+    bin's filterbank weight is identically zero (the top triangle's up-slope
+    ends at sr/2), for the default and an 80-mel / restricted-f_max config."""
+    from howl_tpu.ops.frontend import mel_filterbank
+
+    for n_mels, f_max in ((40, None), (80, None), (40, 6000.0)):
+        fb = mel_filterbank(config.n_freqs, n_mels, config.sample_rate, 0.0, f_max)
+        assert np.abs(fb[config.n_fft // 2]).max() < 1e-6
+
+
+def test_nyquist_crop_matches_full_width(config, rng):
+    """Cropped combined-matrix chain == uncropped two-matrix chain, plain and
+    VTLP-warped (the warp pins its upper breakpoint at Nyquist, so the crop
+    stays exact for every alpha)."""
+    import jax.numpy as jnp
+
+    from howl_tpu.ops.frontend import (
+        _hann_window,
+        dft_matrices,
+        frame_signal,
+        log_mel_spectrogram,
+        log_mel_spectrogram_vtlp,
+        mel_filterbank,
+        vtlp_filterbank,
+    )
+
+    audio = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+
+    def full_width(fb):
+        frames = frame_signal(jnp.asarray(audio), config) * jnp.asarray(_hann_window(config.n_fft))
+        cos_m, sin_m = dft_matrices(config.n_fft)
+        re = frames @ jnp.asarray(cos_m)
+        im = frames @ jnp.asarray(sin_m)
+        mel = (re * re + im * im) @ fb
+        return np.asarray(jnp.log(mel + config.log_offset).swapaxes(-1, -2))
+
+    fb = jnp.asarray(mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate))
+    np.testing.assert_allclose(np.asarray(log_mel_spectrogram(audio, config)), full_width(fb), atol=1e-4)
+    for alpha in (0.9, 1.0, 1.1):
+        fb_w = vtlp_filterbank(config.n_freqs, config.n_mels, config.sample_rate, alpha)
+        np.testing.assert_allclose(
+            np.asarray(log_mel_spectrogram_vtlp(audio, alpha, config)), full_width(fb_w), atol=1e-4
+        )

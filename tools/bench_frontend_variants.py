@@ -70,14 +70,24 @@ def main():
         dt = (time.perf_counter() - start) / iters
         print(f"{name:42s}: {dt*1e3:8.2f} ms/iter")
 
-    for fb_block in (128, 256, 512):
+    import os
+
+    skip_pallas = os.environ.get("HOWL_BENCH_SKIP_PALLAS", "0") == "1"
+    for fb_block in () if skip_pallas else (128, 256, 512):
         fp.FRAME_BLOCK = fb_block
-        timed(f"pallas HIGHEST FRAME_BLOCK={fb_block}", lambda a: fp.log_mel_spectrogram_pallas(a, cfg, 0.0, 1.0))
+        timed(
+            f"pallas f32(6-pass) FRAME_BLOCK={fb_block}",
+            lambda a: fp.log_mel_spectrogram_pallas(a, cfg, 0.0, 1.0, precision=jax.lax.Precision.HIGHEST),
+        )
         timed(
             f"pallas bf16x3  FRAME_BLOCK={fb_block}",
             lambda a: fp.log_mel_spectrogram_pallas(a, cfg, 0.0, 1.0, precision=None),
         )
-    fp.FRAME_BLOCK = 128
+        timed(
+            f"pallas bf16x2  FRAME_BLOCK={fb_block}",
+            lambda a: fp.log_mel_spectrogram_pallas(a, cfg, 0.0, 1.0, precision="bf16x2"),
+        )
+    fp.FRAME_BLOCK = 256
 
     n_freqs = cfg.n_freqs
     cos_m, sin_m = dft_matrices(cfg.n_fft)
@@ -99,6 +109,50 @@ def main():
         ("DEFAULT", jax.lax.Precision.DEFAULT),
     ):
         timed(f"xla chain {name} dft", lambda a, p=prec: xla_chain(a, p))
+
+    # combined (n_fft, n_fft) windowed-DFT matrix with the Nyquist bin cropped
+    # (mel weight identically zero): ONE square GEMM, no padded MXU lanes, no
+    # separate window pass
+    from howl_tpu.ops.frontend import log_mel_spectrogram, nyquist_crop_bins, windowed_dft_matrix
+
+    for name, prec in (
+        ("HIGHEST", None),
+        ("HIGH", jax.lax.Precision.HIGH),
+        ("DEFAULT", jax.lax.Precision.DEFAULT),
+    ):
+        timed(f"combined512 {name} dft", lambda a, p=prec: log_mel_spectrogram(a, cfg, precision=p))
+
+    # two separate windowed+cropped matrices (512, 256): window folded in, no
+    # lane padding, but the GEMM split XLA already schedules well
+    n_bins = nyquist_crop_bins(cfg)
+    w_all = jnp.asarray(windowed_dft_matrix(cfg.n_fft, n_bins))
+    cw, sw = w_all[:, :n_bins], w_all[:, n_bins:]
+    fbc = fb[:n_bins]
+
+    def twomat_chain(a, precision):
+        frames = frame_signal(a, cfg)
+        re = jnp.matmul(frames, cw, precision=precision)
+        im = jnp.matmul(frames, sw, precision=precision)
+        power = re * re + im * im
+        mel = jnp.matmul(power, fbc, precision=jax.lax.Precision.HIGHEST)
+        return jnp.log(mel + 1e-7)
+
+    def twomat2d_chain(a, precision):
+        frames = frame_signal(a, cfg)
+        b2, t2, k2 = frames.shape
+        frames = frames.reshape(b2 * t2, k2)
+        re = jnp.matmul(frames, cw, precision=precision)
+        im = jnp.matmul(frames, sw, precision=precision)
+        power = re * re + im * im
+        mel = jnp.matmul(power, fbc, precision=jax.lax.Precision.HIGHEST)
+        return jnp.log(mel + 1e-7)
+
+    for name, prec in (
+        ("HIGHEST", jax.lax.Precision.HIGHEST),
+        ("HIGH", jax.lax.Precision.HIGH),
+    ):
+        timed(f"twomat crop {name} dft", lambda a, p=prec: twomat_chain(a, p))
+        timed(f"twomat crop 2d {name} dft", lambda a, p=prec: twomat2d_chain(a, p))
 
     hi = np.asarray(xla_chain(audio[:8], jax.lax.Precision.HIGHEST))
     for name, prec in (("HIGH", jax.lax.Precision.HIGH), ("DEFAULT", jax.lax.Precision.DEFAULT)):

@@ -2,9 +2,10 @@
 
 Interpret mode (CPU) computes in exact f32, so the precision knob of
 howl_tpu/ops/frontend_pallas.py can only be judged on hardware: this compares
-HIGHEST (6-pass), HIGH (3-pass) and DEFAULT (1-pass bf16) DFT/mel GEMMs
-against the committed torchaudio-exact goldens and prints the same error
-statistics the golden tests gate on (above-floor max error, global max).
+the 6-pass f32 mode, the default 3-pass hi/lo bf16 mode, and the 2-pass
+bf16-frames mode against the committed torchaudio-exact goldens and prints the
+same error statistics the golden tests gate on (above-floor max error, global
+max).
 
 Run (on the axon TPU): python tools/validate_pallas_precision.py
 """
@@ -28,12 +29,16 @@ def main():
     for n_mels in (40, 80):
         gold = np.load(REPO / f"tests/golden/frontend_logmel_{n_mels}.npy")
         cfg = FrontendConfig(n_mels=n_mels)
-        for prec in (None, jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):  # None = bf16x3 option; Mosaic rejects HIGH
+        for prec, name in (
+            (jax.lax.Precision.HIGHEST, "f32x6"),
+            (None, "bf16x3"),
+            ("bf16x2", "bf16x2"),
+        ):
             out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, 0.0, 1.0, precision=prec))
             err = np.abs(out - gold)
             loud = gold > FLOOR
             print(
-                f"n_mels={n_mels} precision={(prec.name if prec else 'BF16X3'):8s} "
+                f"n_mels={n_mels} precision={name:8s} "
                 f"above_floor_max={err[loud].max():.5f} global_max={err.max():.5f} mean={err.mean():.6f}"
             )
 
