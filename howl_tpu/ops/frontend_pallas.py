@@ -72,29 +72,37 @@ def _split_bf16(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _kernel(frames_ref, w_hi_ref, w_lo_ref, fb_hi_ref, fb_lo_ref, zmuv_ref, out_ref, *, passes, n_bins):
+def _kernel(frames_ref, *refs, passes, n_bins):
+    """Operand layout after frames: 6-pass mode gets (w_f32, fb_f32); the
+    bf16 modes get (w_hi, w_lo, fb_hi, fb_lo). Trailing refs: (zmuv, out)."""
+    mat_refs, (zmuv_ref, out_ref) = refs[:-2], refs[-2:]
     frames = frames_ref[:, :]  # (FRAME_BLOCK, n_fft); hann folded into W
     kw = dict(preferred_element_type=jnp.float32)
     if passes == 6:  # Mosaic's native multi-pass f32 dot (oracle-grade)
-        w = w_hi_ref[:, :].astype(jnp.float32) + w_lo_ref[:, :].astype(jnp.float32)
-        re_im = jnp.dot(frames, w, precision=jax.lax.Precision.HIGHEST, **kw)
-    elif passes == 3:  # f32-grade: drop only the lo*lo cross term (~2^-18)
-        x_hi = frames.astype(jnp.bfloat16)
-        x_lo = (frames - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        re_im = jnp.dot(x_hi, w_hi_ref[:, :], **kw) + (
-            jnp.dot(x_lo, w_hi_ref[:, :], **kw) + jnp.dot(x_hi, w_lo_ref[:, :], **kw)
-        )
-    else:  # passes == 2: frames at single bf16 rounding (~2^-9)
-        x = frames.astype(jnp.bfloat16)
-        re_im = jnp.dot(x, w_hi_ref[:, :], **kw) + jnp.dot(x, w_lo_ref[:, :], **kw)
+        w_ref, fb_ref = mat_refs
+        re_im = jnp.dot(frames, w_ref[:, :], precision=jax.lax.Precision.HIGHEST, **kw)
+    else:
+        w_hi_ref, w_lo_ref, fb_hi_ref, fb_lo_ref = mat_refs
+        if passes == 3:  # f32-grade: drop only the lo*lo cross term (~2^-18)
+            x_hi = frames.astype(jnp.bfloat16)
+            x_lo = (frames - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            re_im = jnp.dot(x_hi, w_hi_ref[:, :], **kw) + (
+                jnp.dot(x_lo, w_hi_ref[:, :], **kw) + jnp.dot(x_hi, w_lo_ref[:, :], **kw)
+            )
+        else:  # passes == 2: frames at single bf16 rounding (~2^-9)
+            x = frames.astype(jnp.bfloat16)
+            re_im = jnp.dot(x, w_hi_ref[:, :], **kw) + jnp.dot(x, w_lo_ref[:, :], **kw)
     re = re_im[:, :n_bins]
     im = re_im[:, n_bins:]
     power = re * re + im * im  # (FRAME_BLOCK, n_bins) — stays in VMEM
-    p_hi = power.astype(jnp.bfloat16)
-    p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    mel = jnp.dot(p_hi, fb_hi_ref[:, :], **kw) + (
-        jnp.dot(p_lo, fb_hi_ref[:, :], **kw) + jnp.dot(p_hi, fb_lo_ref[:, :], **kw)
-    )
+    if passes == 6:
+        mel = jnp.dot(power, fb_ref[:, :], precision=jax.lax.Precision.HIGHEST, **kw)
+    else:
+        p_hi = power.astype(jnp.bfloat16)
+        p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mel = jnp.dot(p_hi, fb_hi_ref[:, :], **kw) + (
+            jnp.dot(p_lo, fb_hi_ref[:, :], **kw) + jnp.dot(p_hi, fb_lo_ref[:, :], **kw)
+        )
     mean = zmuv_ref[0]
     inv_std = zmuv_ref[1]
     out_ref[:, :] = (jnp.log(mel + 1e-7) - mean) * inv_std
@@ -159,26 +167,31 @@ def log_mel_spectrogram_pallas(
     n_mels_pad = _round_up(config.n_mels, LANE)
 
     w = windowed_dft_matrix(n_fft, n_bins)  # (n_fft, 2*n_bins), hann folded in
-    w_hi, w_lo = _split_bf16(w)
     fb = mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max)
     fb_p = np.zeros((n_bins, n_mels_pad), np.float32)
     fb_p[:, : config.n_mels] = fb[:n_bins]
-    fb_hi, fb_lo = _split_bf16(fb_p)
+    if passes == 6:
+        mats = [w, fb_p]
+    else:
+        w_hi, w_lo = _split_bf16(w)
+        fb_hi, fb_lo = _split_bf16(fb_p)
+        mats = [w_hi, w_lo, fb_hi, fb_lo]
     zmuv = jnp.stack([jnp.float32(zmuv_mean), 1.0 / jnp.float32(zmuv_std)])
 
     n_blocks = total // FRAME_BLOCK
     dft_flops = 2 * FRAME_BLOCK * n_fft * 2 * n_bins * min(passes, 3)
     mel_flops = 2 * FRAME_BLOCK * n_bins * n_mels_pad * 3
 
+    mat_spec = {
+        (n_fft, 2 * n_bins): pl.BlockSpec((n_fft, 2 * n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        (n_bins, n_mels_pad): pl.BlockSpec((n_bins, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    }
     out = pl.pallas_call(
         partial(_kernel, passes=passes, n_bins=n_bins),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((FRAME_BLOCK, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, 2 * n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, 2 * n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *[mat_spec[m.shape] for m in mats],
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((FRAME_BLOCK, n_mels_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -189,14 +202,7 @@ def log_mel_spectrogram_pallas(
             transcendentals=total * n_mels_pad,
         ),
         interpret=interpret,
-    )(
-        frames,
-        jnp.asarray(w_hi),
-        jnp.asarray(w_lo),
-        jnp.asarray(fb_hi),
-        jnp.asarray(fb_lo),
-        zmuv,
-    )
+    )(frames, *[jnp.asarray(m) for m in mats], zmuv)
 
     out = out[:, : config.n_mels].reshape(b, t_pad, config.n_mels)[:, :n_frames]
     return out.swapaxes(-1, -2)  # (B, n_mels, T)

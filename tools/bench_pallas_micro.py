@@ -63,12 +63,14 @@ def main():
         dt = (time.perf_counter() - start) / iters
         print(f"{name:40s}: {dt*1e3:8.2f} ms/iter")
 
-    frames_all = np.asarray(frame_signal(audio, cfg))
-    b, t, _ = frames_all.shape
+    b, t = batch, cfg.num_frames(int(clip_s * 16000))
 
     for fb in (256, 1024):
         total = b * t - (b * t) % fb
-        frames = jax.device_put(jnp.asarray(frames_all.reshape(b * t, n_fft)[:total]))
+        # frames stay device-resident: fetching 670 MB through the dev relay
+        # (or pushing it back) takes minutes and is not what we measure
+        frames = jax.jit(lambda a, total=total: frame_signal(a, cfg).reshape(b * t, n_fft)[:total])(audio)
+        jax.block_until_ready(frames)
         n_blocks = total // fb
 
         def stream_kernel(x_ref, o_ref):
