@@ -59,6 +59,7 @@ class StreamingEngine:
         compute_dtype=None,
         fused_trunk: Optional[bool] = None,
         use_pallas_frontend: bool = False,
+        pallas_precision="bf16x2",
     ):
         """``compute_dtype=jnp.bfloat16`` casts features and model parameters
         for scoring — roughly doubles MXU conv throughput on TPU; posteriors
@@ -93,13 +94,15 @@ class StreamingEngine:
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
         import jax as _jax
 
-        # the fused Pallas frontend kernel is kept as an opt-in: measured on
-        # v5e (tools/bench_frontend_variants.py) XLA's own GEMM chain with
-        # power/mel/log fused around it beats the hand-tiled Mosaic kernel at
-        # these shapes (9.8 ms vs 21.5 ms per 512x8 s batch)
+        # the fused polyphase Pallas kernel is opt-in: at its fast 2-pass
+        # bf16 mode it measures ~8.7 ms vs the XLA chain's ~9.9 per 512x8 s
+        # batch on v5e (tools/bench_frontend_variants.py), with ~2.8e-2
+        # log-mel drift — validate decision equivalence per model before
+        # enabling in production (tools/validate_tpu_decisions.py)
         self._use_pallas = (
             use_pallas_frontend and not self.spec.uses_deltas and _jax.devices()[0].platform == "tpu"
         )
+        self._pallas_precision = pallas_precision
         # serving DFT precision: HIGH once bf16 scoring was requested (the
         # smoothing tolerance already absorbs that grade of drift), exact
         # HIGHEST otherwise
@@ -126,10 +129,13 @@ class StreamingEngine:
             feats = log_mel_spectrogram(audio, self.frontend, stacked=True)  # (B, 3, F, T)
             feats = (feats - self.zmuv_mean) / self.zmuv_std
         elif self._use_pallas:
-            # opt-in fused Pallas kernel: log-mel + ZMUV in one kernel pass
+            # opt-in fused polyphase Pallas kernel: log-mel + ZMUV in one pass
             from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
 
-            feats = log_mel_spectrogram_pallas(audio, self.frontend, self.zmuv_mean, self.zmuv_std)[:, None]
+            feats = log_mel_spectrogram_pallas(
+                audio, self.frontend, self.zmuv_mean, self.zmuv_std,
+                precision=self._pallas_precision, out_dtype=self.compute_dtype,
+            )[:, None]
         else:
             # models that only read channel 0 skip the delta stack entirely;
             # XLA fuses the ZMUV affine into the log epilogue

@@ -1,37 +1,46 @@
-"""Fused log-mel frontend as a Pallas TPU kernel.
+"""Fused log-mel frontend as a polyphase Pallas TPU kernel.
 
 The reference's torchaudio chain (MelSpectrogram -> +eps -> log -> ZMUV,
 ref: howl/data/transform/transform.py:249-275, operator.py:145) runs as
-separate kernels with HBM round-trips between every stage. Here the whole math
-pipeline — windowed real-DFT as ONE MXU GEMM, power spectrum, mel filterbank
-GEMM, log, ZMUV normalize — is a single Pallas kernel: each frame block is
-read from HBM exactly once and everything else stays in VMEM.
+separate kernels with HBM round-trips between every stage. The XLA GEMM chain
+in frontend.py collapses the math but still materializes the 2.56x-expanded
+overlapping frames tensor in HBM (write + read back: the chain is HBM-bound,
+measured ~10 ms per 512x8 s batch on v5e where its MXU work alone is <1 ms).
 
-Two design points make this kernel fast where its first iteration was not:
+This kernel removes that tensor entirely with a POLYPHASE decomposition of
+the windowed DFT. Frames overlap because hop < n_fft; but frame t is just
+hop-rows t..t+n_sub-1 of the hop-blocked audio view H = audio.reshape(-1, hop)
+(n_sub = ceil(n_fft/hop), 3 at defaults). So
 
-  * the DFT uses the combined square windowed-DFT matrix (Hann folded in,
-    Nyquist bin cropped — its mel weight is identically zero, see
-    frontend.nyquist_crop_bins): (512, 512) at the default geometry, exact
-    128-lane MXU tiles. The earlier two-matrix form padded 257 -> 384 lanes,
-    1.5x dead MXU work per pass.
-  * precision is hand-rolled as single-pass bf16 GEMMs against hi/lo matrix
-    splits instead of Mosaic's 6-pass f32 emulation ("HIGHEST"):
-      - ``passes=3`` (default): x_hi@W_hi + x_lo@W_hi + x_hi@W_lo, dropping
-        only the lo*lo term (~2^-17 relative) — same error grade as the XLA
-        chain's Precision.HIGH, at 3 MXU passes with zero padding.
-      - ``passes=2``: x_bf16@W_hi + x_bf16@W_lo — frames quantized to bf16
-        (~2^-9), below the bf16 feature-cast noise the serving engines already
-        accept; 2 MXU passes.
-      - ``passes=6``: Mosaic's native f32 dot (oracle-grade, slowest).
-    The mel GEMM always runs the 3-pass split: it is ~1/16 of the DFT MACs
-    and its operands (power, triangle weights) are non-negative, so there is
-    no cancellation to protect with more passes.
+    frames @ W  ==  sum_j  H[t+j] @ W_j,      W_j = W[j*hop : j*hop + w_j]
 
-Framing (the overlapping gather audio[i*hop : i*hop+n_fft]) is left to XLA on
-purpose: hop=200 isn't lane-aligned, so in-kernel extraction would need
-unaligned vector loads Mosaic rejects; frame_signal's reshape+slice+concat is
-pure contiguous data movement XLA emits optimally, and the audio is padded so
-the frame count lands on a block multiple (no extra full-tensor pad pass).
+and the kernel computes the right-hand side directly: each grid cell loads a
+block of hop-rows (plus one lookahead block for the overlap), rebuilds nothing,
+and accumulates the per-j GEMMs in VMEM. HBM traffic drops to ~the audio size.
+The rest of the pipeline — power spectrum, mel filterbank GEMM, log, ZMUV —
+stays fused in VMEM; the output is written as contiguous (frames, mels) tiles
+(a transposed, mel-narrow write costs ~6 ms/iter in strided DMAs — measured)
+and XLA does the cheap final transpose+crop to the (B, n_mels, T) layout.
+
+W is the combined [cos|sin] windowed-DFT matrix (Hann folded in, Nyquist bin
+cropped — its mel weight is identically zero, see frontend.nyquist_crop_bins):
+(512, 512) at defaults, exact 128-lane MXU tiles.
+
+Precision is hand-rolled as single-pass bf16 GEMMs against hi/lo matrix
+splits instead of Mosaic's 6-pass f32 emulation:
+
+  * ``precision=None`` (default): 3-pass x_hi@W_hi + x_lo@W_hi + x_hi@W_lo,
+    dropping only the lo*lo term (~2^-17 relative) — the Precision.HIGH grade.
+  * ``precision="bf16x2"``: 2-pass with bf16 audio rows (~2^-9, below the
+    serving engines' bf16 feature-cast floor; validate decisions per model).
+  * ``precision=Precision.HIGHEST``: Mosaic native f32 (oracle-grade).
+
+The mel GEMM always runs the 3-pass split: ~1/16 of the DFT MACs, and its
+operands (power, triangle weights) are non-negative — no cancellation.
+
+GEMMs are essentially free here (measured: a (256,512)@(512,512) bf16 dot per
+block adds <0.2 ms over pure streaming), so the extra K-padding of the per-j
+blocks (200 -> 256 lanes) costs nothing; the win is all memory traffic.
 
 The pure-jnp implementation in frontend.py is the correctness oracle; see
 tests/test_frontend_pallas.py.
@@ -49,14 +58,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from howl_tpu.ops.frontend import (
     FrontendConfig,
-    frame_signal,
     mel_filterbank,
     nyquist_crop_bins,
     windowed_dft_matrix,
 )
 
-FRAME_BLOCK = 256
-LANE = 128
+FRAME_BLOCK = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,29 +79,58 @@ def _split_bf16(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _kernel(frames_ref, *refs, passes, n_bins):
-    """Operand layout after frames: 6-pass mode gets (w_f32, fb_f32); the
-    bf16 modes get (w_hi, w_lo, fb_hi, fb_lo). Trailing refs: (zmuv, out)."""
+def _passes_for(precision) -> int:
+    if precision is None:
+        return 3
+    if precision == 2 or precision == "bf16x2":
+        return 2
+    return 6  # Precision.HIGHEST or anything else explicit
+
+
+def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block):
+    """Polyphase fused frontend kernel.
+
+    Each grid cell covers ``row_block`` batch rows x ``fb_block`` frames; the
+    per-j GEMM flattens (rows, frames) into one M = row_block*fb_block
+    dimension — M=512 at defaults, where M=128 cells leave the MXU pipeline
+    half-empty (measured: ~1.45 ms/pass-set at M=128 vs ~0.7 at M=512).
+
+    Operands after the two hop-view blocks: 6-pass mode gets
+    (w_0..w_{n_sub-1}, fb) in f32; bf16 modes get the hi/lo pairs
+    (w_0_hi, w_0_lo, ..., fb_hi, fb_lo). Trailing refs: (zmuv, out).
+    """
     mat_refs, (zmuv_ref, out_ref) = refs[:-2], refs[-2:]
-    frames = frames_ref[:, :]  # (FRAME_BLOCK, n_fft); hann folded into W
+    m = row_block * fb_block
+    h = jnp.concatenate([h0_ref[...], h1_ref[...]], axis=1)  # (BB, 2*FB, hop)
     kw = dict(preferred_element_type=jnp.float32)
-    if passes == 6:  # Mosaic's native multi-pass f32 dot (oracle-grade)
-        w_ref, fb_ref = mat_refs
-        re_im = jnp.dot(frames, w_ref[:, :], precision=jax.lax.Precision.HIGHEST, **kw)
+
+    def xslice(arr, j):
+        return arr[:, j : j + fb_block, :].reshape(m, arr.shape[-1])
+
+    if passes == 6:
+        ws, fb_ref = mat_refs[:-1], mat_refs[-1]
+        acc = None
+        for j in range(n_sub):
+            term = jnp.dot(xslice(h, j), ws[j][:, :], precision=jax.lax.Precision.HIGHEST, **kw)
+            acc = term if acc is None else acc + term
+        re_im = acc
     else:
-        w_hi_ref, w_lo_ref, fb_hi_ref, fb_lo_ref = mat_refs
-        if passes == 3:  # f32-grade: drop only the lo*lo cross term (~2^-18)
-            x_hi = frames.astype(jnp.bfloat16)
-            x_lo = (frames - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            re_im = jnp.dot(x_hi, w_hi_ref[:, :], **kw) + (
-                jnp.dot(x_lo, w_hi_ref[:, :], **kw) + jnp.dot(x_hi, w_lo_ref[:, :], **kw)
-            )
-        else:  # passes == 2: frames at single bf16 rounding (~2^-9)
-            x = frames.astype(jnp.bfloat16)
-            re_im = jnp.dot(x, w_hi_ref[:, :], **kw) + jnp.dot(x, w_lo_ref[:, :], **kw)
+        w_pairs, fb_hi_ref, fb_lo_ref = mat_refs[:-2], mat_refs[-2], mat_refs[-1]
+        h_hi = h.astype(jnp.bfloat16)
+        if passes == 3:
+            h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = None
+        for j in range(n_sub):
+            xj_hi = xslice(h_hi, j)
+            w_hi, w_lo = w_pairs[2 * j], w_pairs[2 * j + 1]
+            term = jnp.dot(xj_hi, w_hi[:, :], **kw) + jnp.dot(xj_hi, w_lo[:, :], **kw)
+            if passes == 3:
+                term += jnp.dot(xslice(h_lo, j), w_hi[:, :], **kw)
+            acc = term if acc is None else acc + term
+        re_im = acc
     re = re_im[:, :n_bins]
     im = re_im[:, n_bins:]
-    power = re * re + im * im  # (FRAME_BLOCK, n_bins) — stays in VMEM
+    power = re * re + im * im  # (FB, n_bins) — stays in VMEM
     if passes == 6:
         mel = jnp.dot(power, fb_ref[:, :], precision=jax.lax.Precision.HIGHEST, **kw)
     else:
@@ -105,18 +141,14 @@ def _kernel(frames_ref, *refs, passes, n_bins):
         )
     mean = zmuv_ref[0]
     inv_std = zmuv_ref[1]
-    out_ref[:, :] = (jnp.log(mel + 1e-7) - mean) * inv_std
+    # write contiguous (BB, FB, mels_pad) tiles: a transposed / mel-narrow
+    # block write costs ~6 ms/iter in strided DMAs (measured); the final
+    # transpose+crop to (B, n_mels, T) is a cheap XLA pass over 1/13 the bytes
+    out = (jnp.log(mel + 1e-7) - mean) * inv_std
+    out_ref[...] = out.reshape(row_block, fb_block, out.shape[-1]).astype(out_ref.dtype)
 
 
-def _passes_for(precision) -> int:
-    if precision is None:
-        return 3
-    if precision == 2 or precision == "bf16x2":
-        return 2
-    return 6  # Precision.HIGHEST or anything else explicit
-
-
-@partial(jax.jit, static_argnames=("config", "interpret", "precision"))
+@partial(jax.jit, static_argnames=("config", "interpret", "precision", "out_dtype"))
 def log_mel_spectrogram_pallas(
     audio: jnp.ndarray,
     config: FrontendConfig = FrontendConfig(),
@@ -124,17 +156,17 @@ def log_mel_spectrogram_pallas(
     zmuv_std=1.0,
     interpret: bool = False,
     precision=None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """(B, samples) -> ZMUV-normalized (B, n_mels, frames) log-mels.
 
     Numerically matches ``(log_mel_spectrogram(audio) - mean) / std`` from the
-    jnp reference (same center/reflect padding, Hann window, HTK mel).
+    jnp reference (same center/reflect padding, Hann window, HTK mel); see the
+    module docstring for the polyphase design and the precision modes.
 
-    ``precision``: ``None`` (default) = 3-pass hi/lo bf16 DFT (f32-grade,
-    fastest accurate mode); ``"bf16x2"`` = 2-pass with bf16 frames (error
-    below the serving engines' bf16 feature-cast floor — validate decision
-    equivalence per model); ``jax.lax.Precision.HIGHEST`` = Mosaic native f32
-    (oracle-grade, ~2x slower than 3-pass).
+    ``out_dtype=jnp.bfloat16`` writes the output tiles in bf16 straight from
+    the kernel — bf16-serving engines cast the features anyway, so this saves
+    half the output write traffic plus the separate XLA cast pass.
     """
     if audio.ndim == 1:
         audio = audio[None, :]
@@ -142,67 +174,77 @@ def log_mel_spectrogram_pallas(
     hop, n_fft = config.hop_length, config.n_fft
     n_frames = config.num_frames(audio.shape[-1])
     passes = _passes_for(precision)
+    fb_block = FRAME_BLOCK
+    n_sub = -(-n_fft // hop)
 
-    # pad audio so the per-row frame count lands on a block multiple: padding
-    # the (B, S) audio is ~2.6x cheaper than padding the framed tensor. The
-    # center reflect-pad must happen FIRST (on the true signal tail) — only
-    # then are zeros appended, so every real frame sees the oracle's padding.
-    t_pad = _round_up(n_frames, FRAME_BLOCK) if b * n_frames % FRAME_BLOCK else n_frames
-    frame_cfg = config
-    if t_pad != n_frames:
-        import dataclasses
-
-        if config.center:
-            pad = n_fft // 2
-            audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-            frame_cfg = dataclasses.replace(config, center=False)
-        extra = (t_pad - 1) * hop + n_fft - audio.shape[-1]
-        if extra > 0:
-            audio = jnp.pad(audio, ((0, 0), (0, extra)))
-    # XLA-side framing (reshape+slice+concat, no gather) -> (B*T_pad, n_fft)
-    frames = frame_signal(audio, frame_cfg)[:, :t_pad].reshape(b * t_pad, n_fft)
-    total = b * t_pad
+    # center reflect-pad on the true signal, then zero-extend so the hop-view
+    # has t_pad + fb_block rows (the lookahead block of the last cell)
+    if config.center:
+        audio = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    t_pad = _round_up(n_frames, fb_block)
+    rows = t_pad + fb_block
+    extra = rows * hop - audio.shape[-1]
+    if extra > 0:
+        audio = jnp.pad(audio, ((0, 0), (0, extra)))
+    hview = audio[:, : rows * hop].reshape(b, rows, hop)
 
     n_bins = nyquist_crop_bins(config)
-    n_mels_pad = _round_up(config.n_mels, LANE)
+    n_mels = config.n_mels
 
     w = windowed_dft_matrix(n_fft, n_bins)  # (n_fft, 2*n_bins), hann folded in
-    fb = mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max)
-    fb_p = np.zeros((n_bins, n_mels_pad), np.float32)
-    fb_p[:, : config.n_mels] = fb[:n_bins]
+    w_blocks = []
+    for j in range(n_sub):
+        wj = np.zeros((hop, 2 * n_bins), np.float32)
+        width = min(hop, n_fft - j * hop)
+        # rows beyond the block's true width stay zero: the MXU multiplies the
+        # next rows' (real) samples by zero weights, keeping the sum exact
+        wj[:width] = w[j * hop : j * hop + width]
+        w_blocks.append(wj)
+    fb = mel_filterbank(config.n_freqs, n_mels, config.sample_rate, config.f_min, config.f_max)
+    mels_pad = _round_up(n_mels, 128)
+    fb_pad = np.zeros((n_bins, mels_pad), np.float32)
+    fb_pad[:, :n_mels] = fb[:n_bins]
     if passes == 6:
-        mats = [w, fb_p]
+        mats = [*w_blocks, fb_pad]
     else:
-        w_hi, w_lo = _split_bf16(w)
-        fb_hi, fb_lo = _split_bf16(fb_p)
-        mats = [w_hi, w_lo, fb_hi, fb_lo]
+        mats = []
+        for wj in w_blocks:
+            mats.extend(_split_bf16(wj))
+        mats.extend(_split_bf16(fb_pad))
     zmuv = jnp.stack([jnp.float32(zmuv_mean), 1.0 / jnp.float32(zmuv_std)])
 
-    n_blocks = total // FRAME_BLOCK
-    dft_flops = 2 * FRAME_BLOCK * n_fft * 2 * n_bins * min(passes, 3)
-    mel_flops = 2 * FRAME_BLOCK * n_bins * n_mels_pad * 3
+    row_block = next(bb for bb in (4, 2, 1) if b % bb == 0)
+    grid = (b // row_block, t_pad // fb_block)
+    w_spec = pl.BlockSpec((hop, 2 * n_bins), lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
+    fb_spec = pl.BlockSpec(fb_pad.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
 
-    mat_spec = {
-        (n_fft, 2 * n_bins): pl.BlockSpec((n_fft, 2 * n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        (n_bins, n_mels_pad): pl.BlockSpec((n_bins, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    }
     out = pl.pallas_call(
-        partial(_kernel, passes=passes, n_bins=n_bins),
-        grid=(n_blocks,),
+        partial(
+            _kernel,
+            passes=passes,
+            n_sub=n_sub,
+            n_bins=n_bins,
+            fb_block=fb_block,
+            row_block=row_block,
+        ),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((FRAME_BLOCK, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *[mat_spec[m.shape] for m in mats],
+            pl.BlockSpec((row_block, fb_block, hop), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, fb_block, hop), lambda bi, i: (bi, i + 1, 0), memory_space=pltpu.VMEM),
+            *[w_spec if m.shape[0] == hop else fb_spec for m in mats],
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((FRAME_BLOCK, n_mels_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total, n_mels_pad), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (row_block, fb_block, mels_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, mels_pad), out_dtype or jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=(dft_flops + mel_flops) * n_blocks,
-            bytes_accessed=(total * n_fft + total * n_mels_pad) * 4,
-            transcendentals=total * n_mels_pad,
+            flops=2 * b * t_pad * n_sub * hop * 2 * n_bins * min(passes, 3)
+            + 2 * b * t_pad * n_bins * mels_pad * 3,
+            bytes_accessed=(b * rows * hop + b * mels_pad * t_pad) * 4,
+            transcendentals=b * t_pad * n_mels,
         ),
         interpret=interpret,
-    )(frames, *[jnp.asarray(m) for m in mats], zmuv)
+    )(hview, hview, *[jnp.asarray(m) for m in mats], zmuv)
 
-    out = out[:, : config.n_mels].reshape(b, t_pad, config.n_mels)[:, :n_frames]
-    return out.swapaxes(-1, -2)  # (B, n_mels, T)
+    return out[:, :n_frames, :n_mels].swapaxes(-1, -2)  # (B, n_mels, T)

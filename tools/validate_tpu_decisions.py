@@ -48,6 +48,22 @@ def main():
     )
 
     all_ok = True
+
+    def compare(tag, exact_out, fast_out):
+        nonlocal all_ok
+        det_eq = np.array_equal(np.asarray(exact_out["detected"]), np.asarray(fast_out["detected"]))
+        fire_eq = np.array_equal(
+            np.asarray(exact_out["first_fire_step"]), np.asarray(fast_out["first_fire_step"])
+        )
+        lab_frac = (np.asarray(exact_out["labels"]) == np.asarray(fast_out["labels"])).mean()
+        ok = det_eq and fire_eq and lab_frac >= 0.99
+        all_ok &= ok
+        print(
+            f"{tag:22s}: detected_eq={det_eq} first_fire_eq={fire_eq} "
+            f"label_agreement={lab_frac:.4f} -> {'OK' if ok else 'MISMATCH'}",
+            flush=True,
+        )
+
     for name in FAMILIES:
         model = create_model(name, num_labels=4)
         variables = model.init({"params": jax.random.PRNGKey(hash(name) % 2**31)}, feats0, train=False)
@@ -55,17 +71,15 @@ def main():
         exact = StreamingEngine(model, variables, cfg, frontend, spec=spec)
         fast = StreamingEngine(model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16)
         a = exact.infer_batch(audio)
-        b = fast.infer_batch(audio)
-        det_eq = np.array_equal(np.asarray(a["detected"]), np.asarray(b["detected"]))
-        fire_eq = np.array_equal(np.asarray(a["first_fire_step"]), np.asarray(b["first_fire_step"]))
-        lab_a, lab_b = np.asarray(a["labels"]), np.asarray(b["labels"])
-        lab_frac = (lab_a == lab_b).mean()
-        ok = det_eq and fire_eq and lab_frac >= 0.99
-        all_ok &= ok
-        print(
-            f"{name:10s}: detected_eq={det_eq} first_fire_eq={fire_eq} "
-            f"label_agreement={lab_frac:.4f} -> {'OK' if ok else 'MISMATCH'}"
-        )
+        compare(name, a, fast.infer_batch(audio))
+        if name == "res8":
+            # the polyphase Pallas frontend's fast modes against the same oracle
+            for prec in ("bf16x2", None):
+                pall = StreamingEngine(
+                    model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16,
+                    use_pallas_frontend=True, pallas_precision=prec,
+                )
+                compare(f"res8+pallas[{prec or 'bf16x3'}]", a, pall.infer_batch(audio))
     print("ALL OK" if all_ok else "MISMATCHES FOUND")
     return 0 if all_ok else 1
 
