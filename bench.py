@@ -132,7 +132,11 @@ def main():
                     stride=geom["stride"], check_offset=geom["check_offset"],
                 )
                 det = out["detected"]
-                a = a * (1.0 + det.sum().astype(jnp.float32) * 1e-30)
+                # serialize iterations through a single-element update: a full
+                # `a * (1 + det)` elementwise pass costs ~2 ms of pure harness
+                # overhead (524 MB r/w) at this batch
+                bump = (det.sum().astype(jnp.float32) * 1e-30)[None, None]
+                a = jax.lax.dynamic_update_slice(a, a[:1, :1] + bump, (0, 0))
                 return a, det.sum()
             a, dets = jax.lax.scan(body, a, None, length=n)
             return a[0, 0], dets
