@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def bench_config(name, model_kwargs, batch=None, window_samples=8000, iters=None):
+def bench_config(name, model_kwargs, batch=None, window_samples=8000, iters=None, step_overrides=None):
     from howl_tpu.utils.platform import ensure_platform
 
     ensure_platform()  # honor JAX_PLATFORMS=cpu despite the sitecustomize TPU pin
@@ -40,6 +40,10 @@ def bench_config(name, model_kwargs, batch=None, window_samples=8000, iters=None
         augment=AugmentConfig(),
         use_vtlp=True,
         negative_label=3,
+        # res8 reads only channel 0: skipping the delta stack is exactly
+        # value-preserving (StepConfig.use_deltas)
+        use_deltas=False,
+        **(step_overrides or {}),
     )
     model = create_model("res8", num_labels=4, **model_kwargs)
     feats0 = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
@@ -92,10 +96,20 @@ def bench_config(name, model_kwargs, batch=None, window_samples=8000, iters=None
 
 
 def main():
+    import jax
+
     import jax.numpy as jnp
 
     bench_config("f32", {})
-    bench_config("bf16", {"dtype": jnp.bfloat16})
+    # bf16 model compute + 3-pass DFT: the 2.2e-4 log-mel drift is far below
+    # the bf16 activation noise (decision-parity checked for serving; training
+    # convergence covered by the bf16 smokes)
+    fast = {"dft_precision": jax.lax.Precision.HIGH}
+    bench_config("bf16", {"dtype": jnp.bfloat16}, step_overrides=fast)
+    # throughput-scale batch: the step is overhead-dominated at the recipe
+    # batch (128 -> ~2 ms/step); 1024 amortizes it (~140k ex/s, near the
+    # 2048 saturation point measured at ~150k)
+    bench_config("bf16_b1024", {"dtype": jnp.bfloat16}, batch=1024, step_overrides=fast)
 
 
 if __name__ == "__main__":

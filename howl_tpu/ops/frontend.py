@@ -221,10 +221,16 @@ def log_mel_spectrogram(
     return stack_deltas(out) if stacked else out
 
 
-def log_mel_spectrogram_vtlp(audio: jnp.ndarray, alpha, config: FrontendConfig = FrontendConfig(), stacked: bool = False):
+def log_mel_spectrogram_vtlp(
+    audio: jnp.ndarray,
+    alpha,
+    config: FrontendConfig = FrontendConfig(),
+    stacked: bool = False,
+    precision=None,
+):
     """VTLP-augmented variant; ``alpha`` may be a traced scalar."""
     fb = vtlp_filterbank(config.n_freqs, config.n_mels, config.sample_rate, alpha, config.f_min, config.f_max)
-    out = _mel_core(audio, fb, config)
+    out = _mel_core(audio, fb, config, precision=precision)
     return stack_deltas(out) if stacked else out
 
 

@@ -229,6 +229,8 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
     for i in rng.permutation(len(ww_train))[:128]:
         zmuv.update(np.asarray(feat_fn(probe_bf([ww_train[int(i)]]).audio_data)))
 
+    from howl_tpu.models.base import model_spec
+
     step_cfg = StepConfig(
         frontend=frontend_cfg,
         zmuv_mean=zmuv.mean,
@@ -237,6 +239,8 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
         use_vtlp=args.use_augment,
         negative_label=ctx.negative_label,
         blank_label=ctx.blank_label,
+        # see StepConfig.use_deltas: exactly value-preserving for ch0 models
+        use_deltas=model_spec(args.model).uses_deltas,
     )
     model = create_model(args.model, num_labels=ctx.num_labels)
     example_samples = window_samples if use_frame else probe_bf.max_audio_samples

@@ -17,6 +17,7 @@ import numpy as np
 from howl_tpu.data.dataset.gsc_loader import GoogleSpeechCommandsDatasetLoader
 from howl_tpu.data.transform.batchifier import ClassificationBatchSampler
 from howl_tpu.models import MODEL_REGISTRY, create_model
+from howl_tpu.models.base import model_spec
 from howl_tpu.ops.augment import AugmentConfig
 from howl_tpu.ops.frontend import FrontendConfig
 from howl_tpu.ops.zmuv import ZmuvTransform
@@ -215,6 +216,9 @@ def run(args=None) -> dict:
         zmuv_std=zmuv.std,
         augment=augment_cfg,
         use_vtlp=args.use_augment,
+        # delta channels only for models that read them (exactly value-
+        # preserving for channel-0 models; see StepConfig.use_deltas)
+        use_deltas=model_spec(args.model).uses_deltas,
     )
 
     model_kwargs = {}

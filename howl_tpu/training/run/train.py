@@ -334,6 +334,10 @@ def run(args=None) -> dict:
         negative_label=ctx.negative_label,
         blank_label=ctx.blank_label,
         trunk_span=trunk_span,
+        # delta/accel channels are computed only for models that read them
+        # (LAS); exactly value-preserving for channel-0 models since ZMUV is
+        # one scalar affine (see StepConfig.use_deltas)
+        use_deltas=model_spec(args.model).uses_deltas,
     )
     model = create_model(args.model, num_labels=ctx.num_labels)
     spec = model_spec(args.model)

@@ -35,6 +35,16 @@ class StepConfig(NamedTuple):
     # the logits come from trunk frames [lo, hi) via Res8.windowed_logits, so
     # training matches the engine's fused clip-level scoring exactly
     trunk_span: Optional[Tuple[int, int]] = None
+    # skip the delta/accel channel stack for models that only read channel 0
+    # (every family except LAS). EXACTLY value-preserving for those models:
+    # ZMUV is one scalar affine, so channel 0 is bit-identical either way —
+    # the deltas were pure wasted compute (the reference always pays it,
+    # ref transform.py:280)
+    use_deltas: bool = True
+    # DFT GEMM precision inside the train step (None = exact HIGHEST; pass
+    # jax.lax.Precision.HIGH with bf16 model compute, where 3-pass error
+    # [2.2e-4 log-mel] is far below the bf16 activation noise)
+    dft_precision: Optional[object] = None
 
 
 def featurize(audio: jnp.ndarray, cfg: StepConfig, key: Optional[jax.Array] = None) -> jnp.ndarray:
@@ -48,10 +58,11 @@ def featurize(audio: jnp.ndarray, cfg: StepConfig, key: Optional[jax.Array] = No
         k_alpha, k_prob = jax.random.split(key)
         alpha = jax.random.uniform(k_alpha, (), minval=0.9, maxval=1.1)
         alpha = jnp.where(jax.random.bernoulli(k_prob, cfg.vtlp_prob), alpha, 1.0)
-        feats = log_mel_spectrogram_vtlp(audio, alpha, cfg.frontend)
-        feats = stack_deltas(feats)
+        feats = log_mel_spectrogram_vtlp(audio, alpha, cfg.frontend, precision=cfg.dft_precision)
+        feats = stack_deltas(feats) if cfg.use_deltas else feats[:, None]
     else:
-        feats = log_mel_spectrogram(audio, cfg.frontend, stacked=True)
+        feats = log_mel_spectrogram(audio, cfg.frontend, precision=cfg.dft_precision)
+        feats = stack_deltas(feats) if cfg.use_deltas else feats[:, None]
     return (feats - cfg.zmuv_mean) / cfg.zmuv_std
 
 
