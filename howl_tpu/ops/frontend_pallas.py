@@ -176,6 +176,14 @@ def log_mel_spectrogram_pallas(
     passes = _passes_for(precision)
     fb_block = FRAME_BLOCK
     n_sub = -(-n_fft // hop)
+    if n_sub > fb_block:
+        # one lookahead block covers the frame overlap only while
+        # ceil(n_fft/hop) <= FRAME_BLOCK (hop >= 4 at n_fft=512); extreme
+        # overlap ratios fall back to the jnp chain rather than miscompute
+        from howl_tpu.ops.frontend import log_mel_spectrogram
+
+        mels = log_mel_spectrogram(audio, config)
+        return ((mels - zmuv_mean) / zmuv_std).astype(out_dtype or jnp.float32)
 
     # center reflect-pad on the true signal, then zero-extend so the hop-view
     # has t_pad + fb_block rows (the lookahead block of the last cell)

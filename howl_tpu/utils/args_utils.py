@@ -1,10 +1,26 @@
-"""Thin argparse builder (capability parity: howl/utils/args_utils.py:34)."""
+"""Thin argparse builder (capability parity: howl/utils/args_utils.py:34)
+plus the string-to-bool flag parser (ref howl/utils/str_utils.py:4 — the
+reference wraps distutils.strtobool, removed in Python 3.12)."""
 
 from __future__ import annotations
 
 import argparse
 from dataclasses import dataclass, field
 from typing import Any, Dict, Tuple
+
+_TRUE = {"y", "yes", "t", "true", "on", "1"}
+_FALSE = {"n", "no", "f", "false", "off", "0"}
+
+
+def strtobool(bool_str: str) -> bool:
+    """True for y/yes/t/true/on/1, False for n/no/f/false/off/0 (any case);
+    raises ValueError otherwise — the reference's argparse flag convention."""
+    v = bool_str.lower()
+    if v in _TRUE:
+        return True
+    if v in _FALSE:
+        return False
+    raise ValueError(f"invalid truth value {bool_str!r}")
 
 
 @dataclass

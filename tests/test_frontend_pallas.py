@@ -58,3 +58,15 @@ def test_pallas_block_multiple_no_audio_pad(rng):
     ref = np.asarray(log_mel_spectrogram(audio, cfg))
     out = np.asarray(fp.log_mel_spectrogram_pallas(audio, cfg, interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_pallas_extreme_overlap_falls_back(rng):
+    """ceil(n_fft/hop) > FRAME_BLOCK routes to the jnp chain (guard path)."""
+    from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+    from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
+
+    cfg = FrontendConfig(n_mels=40, n_fft=512, hop_length=2)  # n_sub = 256
+    audio = (rng.standard_normal((1, 2000)) * 0.1).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(audio, cfg))
+    out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -119,3 +119,17 @@ def test_frame_count():
     # 16000 samples, hop 200, center=True -> 81 frames (matches reference frontend)
     assert frame_count(16000) == 81
     assert frame_count(8000) == 41
+
+
+def test_strtobool_reference_semantics():
+    """ref howl/utils/str_utils.py:4 truth-value table, distutils-free."""
+    import pytest
+
+    from howl_tpu.utils.args_utils import strtobool
+
+    for v in ("y", "YES", "t", "True", "on", "1"):
+        assert strtobool(v) is True
+    for v in ("n", "NO", "f", "False", "off", "0"):
+        assert strtobool(v) is False
+    with pytest.raises(ValueError):
+        strtobool("maybe")
