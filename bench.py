@@ -34,16 +34,17 @@ import numpy as np
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 
-def path_flops_per_clip(clip_samples: int, n_mels: int, num_labels: int, n_fft=512, hop=200, maps=45):
-    """Analytic FLOPs (2*MACs) of one clip through the fused serving path."""
-    frames = clip_samples // hop + 1
-    n_freqs = n_fft // 2 + 1
-    frontend = frames * (2 * n_fft * n_freqs + n_freqs * n_mels)
-    conv0 = frames * n_mels * maps * 9  # in-ch 1
-    pooled = frames // 3
-    trunk = pooled * (n_mels // 4) * maps * maps * 9 * 6
-    n_win = max((frames - (8000 // hop + 1)) // 5 + 1, 1)
-    head = n_win * maps * num_labels
+def path_flops_per_clip(clip_samples: int, engine, num_labels: int, maps=45):
+    """Analytic FLOPs (2*MACs) of one clip through the fused serving path,
+    with the window/stride/frontend geometry taken from the constructed
+    engine so edits to the bench config can't silently skew the MFU."""
+    fe = engine.frontend
+    frames = fe.num_frames(clip_samples)
+    frontend = frames * (2 * fe.n_fft * fe.n_freqs + fe.n_freqs * fe.n_mels)
+    conv0 = frames * fe.n_mels * maps * 9  # in-ch 1
+    pooled = frames // engine.model.pooling[0]
+    trunk = pooled * (fe.n_mels // engine.model.pooling[1]) * maps * maps * 9 * 6
+    head = engine.n_windows(clip_samples) * maps * num_labels
     return 2 * (frontend + conv0 + trunk + head)
 
 
@@ -154,7 +155,7 @@ def main():
     audio_seconds = batch * clip_seconds * iters
     realtime_factor = audio_seconds / elapsed
     legacy_rt = batch * clip_seconds * max(iters // 4, 1) / legacy_elapsed
-    flops = path_flops_per_clip(clip_samples, 40, 4) * batch * iters
+    flops = path_flops_per_clip(clip_samples, engine, 4) * batch * iters
     mfu = flops / elapsed / V5E_BF16_PEAK_FLOPS if on_tpu else 0.0
 
     # ---- multi-stream online serving at the 62.5 ms client cadence ----

@@ -81,9 +81,7 @@ class StreamingEngine:
         self.variables = variables
         self.compute_dtype = compute_dtype
         if compute_dtype is not None:
-            import jax as _j
-
-            self.variables = _j.tree.map(
+            self.variables = jax.tree.map(
                 lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
                 variables,
             )
@@ -92,15 +90,13 @@ class StreamingEngine:
         self.zmuv_mean = float(zmuv_mean)
         self.zmuv_std = float(zmuv_std)
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
-        import jax as _jax
-
         # the fused polyphase Pallas kernel is opt-in: at its fast 2-pass
         # bf16 mode it measures ~8.7 ms vs the XLA chain's ~9.9 per 512x8 s
         # batch on v5e (tools/bench_frontend_variants.py), with ~2.8e-2
         # log-mel drift — validate decision equivalence per model before
         # enabling in production (tools/validate_tpu_decisions.py)
         self._use_pallas = (
-            use_pallas_frontend and not self.spec.uses_deltas and _jax.devices()[0].platform == "tpu"
+            use_pallas_frontend and not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
         )
         self._pallas_precision = pallas_precision
         # serving DFT precision: HIGH once bf16 scoring was requested (the

@@ -87,7 +87,7 @@ def _passes_for(precision) -> int:
     return 6  # Precision.HIGHEST or anything else explicit
 
 
-def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block):
+def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, log_offset):
     """Polyphase fused frontend kernel.
 
     Each grid cell covers ``row_block`` batch rows x ``fb_block`` frames; the
@@ -144,7 +144,7 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block):
     # write contiguous (BB, FB, mels_pad) tiles: a transposed / mel-narrow
     # block write costs ~6 ms/iter in strided DMAs (measured); the final
     # transpose+crop to (B, n_mels, T) is a cheap XLA pass over 1/13 the bytes
-    out = (jnp.log(mel + 1e-7) - mean) * inv_std
+    out = (jnp.log(mel + log_offset) - mean) * inv_std
     out_ref[...] = out.reshape(row_block, fb_block, out.shape[-1]).astype(out_ref.dtype)
 
 
@@ -234,6 +234,7 @@ def log_mel_spectrogram_pallas(
             n_bins=n_bins,
             fb_block=fb_block,
             row_block=row_block,
+            log_offset=config.log_offset,
         ),
         grid=grid,
         in_specs=[

@@ -59,10 +59,9 @@ def featurize(audio: jnp.ndarray, cfg: StepConfig, key: Optional[jax.Array] = No
         alpha = jax.random.uniform(k_alpha, (), minval=0.9, maxval=1.1)
         alpha = jnp.where(jax.random.bernoulli(k_prob, cfg.vtlp_prob), alpha, 1.0)
         feats = log_mel_spectrogram_vtlp(audio, alpha, cfg.frontend, precision=cfg.dft_precision)
-        feats = stack_deltas(feats) if cfg.use_deltas else feats[:, None]
     else:
         feats = log_mel_spectrogram(audio, cfg.frontend, precision=cfg.dft_precision)
-        feats = stack_deltas(feats) if cfg.use_deltas else feats[:, None]
+    feats = stack_deltas(feats) if cfg.use_deltas else feats[:, None]
     return (feats - cfg.zmuv_mean) / cfg.zmuv_std
 
 
