@@ -10,7 +10,6 @@ property-tested against) — with persistent on-device state between calls.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -21,6 +20,41 @@ from howl_tpu.inference.config import EngineConfig
 from howl_tpu.inference.detect import DetectState, apply_inference_weights, detect_step, init_state
 from howl_tpu.models.base import ModelSpec, model_spec
 from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+
+# Timestamps live in float32 on device; absolute ms since engine start would
+# lose sub-stride precision after days of uptime (f32 spacing at 2^28 ms ~
+# 3 days is 32 ms > the smoothing tolerances). Engines rebase their clock and
+# ring timestamps by _REBASE_DELTA whenever the clock passes _REBASE_AT
+# (~70 min, where f32 spacing is still 0.25 ms); the -1e30 empty-slot
+# sentinel is unaffected (the subtraction is absorbed in f32).
+_REBASE_AT = float(2 ** 22)  # ms
+_REBASE_DELTA = float(2 ** 21)  # ms
+
+
+def _rebase_times(state: DetectState, delta: float) -> DetectState:
+    d = jnp.float32(delta)
+    return state._replace(pred_times=state.pred_times - d, label_times=state.label_times - d)
+
+
+def _score_and_detect(model, spec, cfg, variables, feats, state, t_now, carry, check_offset_ms):
+    """Shared step tail: model -> softmax -> inference weights -> detect_step.
+
+    Both online engines funnel through this so smoothing/FSM semantics cannot
+    drift between them (they are oracle-tested via the batched path)."""
+    if spec.is_recurrent:
+        out, new_carry = model.apply(variables, feats, train=False, carry=carry, return_carry=True)
+    else:
+        out = model.apply(variables, feats, train=False)
+        new_carry = carry
+    if out.ndim == 3:  # sequential model: use the last frame's logits
+        out = out[-1]
+    probs = jax.nn.softmax(out.astype(jnp.float32), -1)
+    probs = apply_inference_weights(probs, cfg)
+    valid = jnp.ones((feats.shape[0],), bool)
+    new_state, label, fired_now = detect_step(
+        state, probs, t_now, valid, cfg, check_offset_ms=check_offset_ms
+    )
+    return new_state, label, fired_now, new_carry
 
 
 class OnlineEngine:
@@ -74,37 +108,29 @@ class OnlineEngine:
 
     def _build_step(self):
         model, cfg, frontend, spec = self.model, self.cfg, self.frontend, self.spec
+        zmuv_mean, zmuv_std = self.zmuv_mean, self.zmuv_std
+        use_pallas, compute_dtype, dft_prec = self._use_pallas, self.compute_dtype, self._dft_precision
 
-        @partial(jax.jit, static_argnames=())
+        @jax.jit
         def step(variables, audio, state: DetectState, t_now, carry):
             if spec.uses_deltas:
                 feats = log_mel_spectrogram(audio, frontend, stacked=True)
-                feats = (feats - self.zmuv_mean) / self.zmuv_std
-            elif self._use_pallas:
-                # opt-in fused mel+ZMUV kernel, same option as StreamingEngine
+                feats = (feats - zmuv_mean) / zmuv_std
+            elif use_pallas:
+                # fused polyphase mel+ZMUV kernel, same option as StreamingEngine
                 from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
 
-                mels = log_mel_spectrogram_pallas(audio, frontend, self.zmuv_mean, self.zmuv_std)
+                mels = log_mel_spectrogram_pallas(audio, frontend, zmuv_mean, zmuv_std)
                 feats = mels[:, None, :, :]
             else:
-                mels = log_mel_spectrogram(audio, frontend, precision=self._dft_precision)
-                feats = ((mels - self.zmuv_mean) / self.zmuv_std)[:, None]
-            if self.compute_dtype is not None:
-                feats = feats.astype(self.compute_dtype)
-            if spec.is_recurrent:
-                out, new_carry = model.apply(variables, feats, train=False, carry=carry, return_carry=True)
-            else:
-                out = model.apply(variables, feats, train=False)
-                new_carry = carry
-            if out.ndim == 3:  # sequential model: use the last frame's logits
-                out = out[-1]
-            probs = jax.nn.softmax(out.astype(jnp.float32), -1)
-            probs = apply_inference_weights(probs, cfg)
-            valid = jnp.ones((audio.shape[0],), bool)
-            new_state, label, fired_now = detect_step(
-                state, probs, t_now, valid, cfg, check_offset_ms=cfg.eval_stride_size_ms
+                mels = log_mel_spectrogram(audio, frontend, precision=dft_prec)
+                feats = ((mels - zmuv_mean) / zmuv_std)[:, None]
+            if compute_dtype is not None:
+                feats = feats.astype(compute_dtype)
+            return _score_and_detect(
+                model, spec, cfg, variables, feats, state, t_now, carry,
+                check_offset_ms=cfg.eval_stride_size_ms,
             )
-            return new_state, label, fired_now, new_carry
 
         return step
 
@@ -118,9 +144,17 @@ class OnlineEngine:
         audio = np.asarray(window_audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
+        if audio.shape[0] != self.num_streams:
+            raise ValueError(
+                f"ingest expects {self.num_streams} stream(s), got {audio.shape[0]} "
+                "(a mismatched count would silently broadcast into every stream's state)"
+            )
         if audio.shape[-1] < self.window_samples:
             audio = np.pad(audio, ((0, 0), (self.window_samples - audio.shape[-1], 0)))
         audio = audio[:, -self.window_samples :]
+        if self.curr_time >= _REBASE_AT:
+            self.state = _rebase_times(self.state, _REBASE_DELTA)
+            self.curr_time -= _REBASE_DELTA
         self.state, label, fired_now, self.carry = self._step(
             self.variables, audio, self.state, jnp.float32(self.curr_time), self.carry
         )
@@ -180,6 +214,11 @@ class IncrementalOnlineEngine:
         self.zmuv_mean = float(zmuv_mean)
         self.zmuv_std = float(zmuv_std)
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
+        if self.spec.uses_deltas:
+            raise ValueError(
+                "IncrementalOnlineEngine keeps a plain log-mel ring and cannot serve "
+                "delta-channel models (las); use OnlineEngine for those"
+            )
         self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
         self.num_streams = num_streams
 
@@ -216,29 +255,22 @@ class IncrementalOnlineEngine:
         from howl_tpu.ops.frontend import log_mel_spectrogram as _logmel
 
         model, cfg, spec = self.model, self.cfg, self.spec
-        stride, tail_len = self.stride_frames, self.tail_samples
+        stride, tail_len, stride_ms = self.stride_frames, self.tail_samples, self.stride_ms
+        zmuv_mean, zmuv_std = self.zmuv_mean, self.zmuv_std
+        frontend_nc, dft_prec, compute_dtype = self._frontend_nc, self._dft_precision, self.compute_dtype
 
         @jax.jit
         def step(variables, new_audio, tail, ring, state: DetectState, t_now, carry):
             buf = jnp.concatenate([tail, new_audio], axis=-1)
-            mels = _logmel(buf, self._frontend_nc, precision=self._dft_precision)  # (N, F, stride)
-            mels = (mels - self.zmuv_mean) / self.zmuv_std
+            mels = _logmel(buf, frontend_nc, precision=dft_prec)  # (N, F, stride)
+            mels = (mels - zmuv_mean) / zmuv_std
             ring = jnp.concatenate([ring[..., stride:], mels], axis=-1)  # oldest -> newest
             feats = ring[:, None]
-            if self.compute_dtype is not None:
-                feats = feats.astype(self.compute_dtype)
-            if spec.is_recurrent:
-                out, new_carry = model.apply(variables, feats, train=False, carry=carry, return_carry=True)
-            else:
-                out = model.apply(variables, feats, train=False)
-                new_carry = carry
-            if out.ndim == 3:  # sequential model: last frame's logits
-                out = out[-1]
-            probs = jax.nn.softmax(out.astype(jnp.float32), -1)
-            probs = apply_inference_weights(probs, cfg)
-            valid = jnp.ones((new_audio.shape[0],), bool)
-            new_state, label, fired_now = detect_step(
-                state, probs, t_now, valid, cfg, check_offset_ms=self.stride_ms
+            if compute_dtype is not None:
+                feats = feats.astype(compute_dtype)
+            new_state, label, fired_now, new_carry = _score_and_detect(
+                model, spec, cfg, variables, feats, state, t_now, carry,
+                check_offset_ms=stride_ms,
             )
             return buf[..., -tail_len:], ring, new_state, label, fired_now, new_carry
 
@@ -255,6 +287,9 @@ class IncrementalOnlineEngine:
             audio = audio[None, :]
         if audio.shape != (self.num_streams, self.hop_samples):
             raise ValueError(f"push expects {(self.num_streams, self.hop_samples)}, got {audio.shape}")
+        if self.curr_time >= _REBASE_AT:
+            self.state = _rebase_times(self.state, _REBASE_DELTA)
+            self.curr_time -= _REBASE_DELTA
         self.tail, self.mel_ring, self.state, label, fired_now, self.carry = self._step(
             self.variables, audio, self.tail, self.mel_ring, self.state,
             jnp.float32(self.curr_time), self.carry,

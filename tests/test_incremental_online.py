@@ -165,3 +165,38 @@ def test_ring_parity_across_geometries(stride_ms, n_mels, window_ms):
     start = t_end - eng.window_frames + 1
     assert start >= 2, "clip too short for a fully-refreshed ring"
     np.testing.assert_allclose(ring, ref[:, start : t_end + 1], rtol=1e-5, atol=1e-5)
+
+
+def test_clock_rebase_preserves_detections():
+    """The f32-timestamp rebase (~70 min uptime) must not change behavior: a
+    stream started just below the rebase threshold produces the same label
+    sequence and fires at the same steps as a fresh-epoch stream."""
+    import howl_tpu.inference.online as online_mod
+
+    eng_a, model, variables = _make(num_streams=1)
+    eng_b = online_mod.IncrementalOnlineEngine(
+        model, variables, eng_a.cfg, eng_a.frontend, spec=eng_a.spec, num_streams=1
+    )
+    # push eng_b to the brink of the rebase: advance its host clock only
+    # (state rings hold matching pre-epoch timestamps after a few pushes)
+    rng = np.random.default_rng(3)
+    warm = rng.standard_normal((1, eng_b.hop_samples)).astype(np.float32) * 0.1
+    for _ in range(3):
+        eng_b.push(warm)
+        eng_a.push(warm)
+    shift = online_mod._REBASE_AT - eng_b.curr_time - eng_b.stride_ms  # crosses on next push
+    eng_b.curr_time += shift
+    eng_b.state = eng_b.state._replace(
+        pred_times=eng_b.state.pred_times + np.float32(shift),
+        label_times=eng_b.state.label_times + np.float32(shift),
+    )
+    fires_a, fires_b, labels_a, labels_b = [], [], [], []
+    for k in range(24):
+        chunk = rng.standard_normal((1, eng_b.hop_samples)).astype(np.float32) * 0.1
+        fires_a.append(eng_a.push(chunk))
+        fires_b.append(eng_b.push(chunk))
+        labels_a.append(np.asarray(eng_a.last_labels).tolist())
+        labels_b.append(np.asarray(eng_b.last_labels).tolist())
+    assert eng_b.curr_time < online_mod._REBASE_AT  # the rebase actually ran
+    assert fires_a == fires_b
+    assert labels_a == labels_b
