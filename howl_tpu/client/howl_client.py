@@ -160,11 +160,18 @@ class HowlClient:
         if incremental:
             # the engine keeps its own mel-frame ring; hand it only the new
             # hop's samples, from the first hop on (its ring starts as silence)
-            hop_chunks = max(self.engine.hop_samples // self.chunk_size, 1)
+            hop = self.engine.hop_samples
+            if hop % self.chunk_size:
+                raise ValueError(
+                    f"chunk_size={self.chunk_size} must divide the incremental engine's "
+                    f"hop ({hop} samples); non-divisible chunks would hand the engine "
+                    "short or overlapping windows"
+                )
+            hop_chunks = hop // self.chunk_size
             if self._chunks_since_infer < hop_chunks:
                 return False
             self._chunks_since_infer = 0
-            fired = self.engine.push(self._ring.latest(self.engine.hop_samples))
+            fired = self.engine.push(self._ring.latest(hop))
         else:
             if self._chunks_total < self._audio_buf_len:
                 return False  # ring still filling to the first 500 ms window

@@ -67,6 +67,18 @@ def load_workspace_engine(
         raise FileNotFoundError(f"zmuv.json missing from workspace {workspace.path}")
 
     model = create_model(model_name, num_labels=ctx.num_labels)
+    spec = model_spec(model_name)
+    if settings.training.convert_static:
+        # the workspace was trained with the static model wrapped into a
+        # per-frame sequential one (train.py convert_static path, ref
+        # train.py:247-248) — rebuild the same wrapper or the saved param
+        # tree will not match the bare model's template
+        from dataclasses import replace as dc_replace
+
+        from howl_tpu.models.base import ConvertedStaticModel
+
+        model = ConvertedStaticModel(inner=model, frame_window_size=40, frame_stride_size=10)
+        spec = dc_replace(spec, is_sequential=True)
     frontend = FrontendConfig.from_settings()
     window_samples = int(settings.training.max_window_size_seconds * settings.audio.sample_rate)
     feats0 = np.zeros((1, 3, frontend.n_mels, frontend.num_frames(window_samples)), np.float32)
@@ -86,7 +98,7 @@ def load_workspace_engine(
         frontend,
         zmuv.mean,
         zmuv.std,
-        spec=model_spec(model_name),
+        spec=spec,
         num_streams=num_streams,
     )
     return engine, ctx

@@ -198,6 +198,21 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
         raise SystemExit(f"no training clips under {args.dataset_paths}")
 
     sample_rate = SETTINGS.audio.sample_rate
+    window_samples_bank = int(SETTINGS.training.max_window_size_seconds * sample_rate)
+    noise_bank = None
+    if SETTINGS.training.use_noise_dataset and SETTINGS.training.noise_dataset_path:
+        # same on-device noise mixing as the sequential per-seed path
+        # (train.py:283-297) — without this the sharded seeds would train
+        # clean while the report's noisy eval assumes noise-augmented models
+        from howl_tpu.data.dataset.dataset_loader import RecursiveNoiseDatasetLoader
+        from howl_tpu.training.run.train import build_noise_bank
+        from howl_tpu.utils import hash_utils
+
+        noise_ds = RecursiveNoiseDatasetLoader().load(
+            Path(SETTINGS.training.noise_dataset_path), sample_rate=sample_rate, mono=SETTINGS.audio.use_mono
+        )
+        noise_train, _ = noise_ds.split(hash_utils.Sha256Splitter(80))
+        noise_bank = build_noise_bank(noise_train if len(noise_train) else noise_ds, window_samples_bank)
     window_ms = int(SETTINGS.training.max_window_size_seconds * 1000)
     window_samples = int(window_ms / 1000 * sample_rate)
     frontend_cfg = FrontendConfig.from_settings()
@@ -258,7 +273,9 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
         steps_per_epoch=steps_per_epoch,
     )
     per_model_step = (
-        make_classification_train_step(model, step_cfg) if use_frame else make_ctc_train_step(model, step_cfg)
+        make_classification_train_step(model, step_cfg, noise_bank)
+        if use_frame
+        else make_ctc_train_step(model, step_cfg, noise_bank)
     )
     sweep_step = make_seed_sweep_step(per_model_step)
     keys = jax.vmap(jax.random.PRNGKey)(np.asarray(seeds))
@@ -338,8 +355,10 @@ def run(args=None) -> dict:
     missing = [s for s in range(args.num_models) if not (seed_workspaces[s] / "model-best.flax").exists()]
 
     if args.sharded_seeds and not args.skip_training and missing:
+        # train ONLY the missing seeds (the sequential branch skips existing
+        # workspaces the same way; retraining all would overwrite them)
         # ---- TRAIN PHASE (all seeds concurrently, one sharded program) ----
-        train_seeds_sharded(args, base, list(range(args.num_models)))
+        train_seeds_sharded(args, base, missing)
     else:
         # ---- TRAIN PHASE (sequential seeds; each run is mesh-DP internally) ----
         for seed in range(args.num_models):

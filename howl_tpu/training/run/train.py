@@ -297,10 +297,8 @@ def run(args=None) -> dict:
         noise_bank = build_noise_bank(noise_train, window_samples)
         # eval mixers tile noise across the clip, so chunk size just needs to
         # be <= the shortest noise clip
-        eval_chunk = min(
-            [sample_rate * 2]
-            + [len(noise_ds.load_audio(m)) for m in noise_ds.metadata_list[:8] if len(noise_ds.load_audio(m))]
-        )
+        probe_lens = [len(noise_ds.load_audio(m)) for m in noise_ds.metadata_list[:8]]
+        eval_chunk = min([sample_rate * 2] + [n for n in probe_lens if n])
         dev_mix_bank = build_noise_bank(noise_dev, eval_chunk)
         test_mix_bank = build_noise_bank(noise_test, eval_chunk)
 

@@ -56,3 +56,21 @@ def test_convert_static_trains(corpus, tmp_path, monkeypatch):
     monkeypatch.setenv("CONVERT_STATIC", "true")
     results = _run("small-cnn", corpus, tmp_path / "conv", monkeypatch, objective="ctc")
     assert "test_pos" in results
+
+
+@pytest.mark.slow
+def test_convert_static_workspace_loads_in_hub(corpus, tmp_path, monkeypatch):
+    """A convert_static workspace must be servable: the hub rebuilds the
+    ConvertedStaticModel wrapper so the saved (wrapped) param tree matches."""
+    monkeypatch.setenv("CONVERT_STATIC", "true")
+    ws = tmp_path / "conv_hub"
+    _run("small-cnn", corpus, ws, monkeypatch, objective="ctc")
+
+    import numpy as np
+
+    from howl_tpu.hub import load_workspace_engine
+
+    engine, ctx = load_workspace_engine(ws, "small-cnn")
+    assert engine.spec.is_sequential
+    fired = engine.ingest(np.zeros(engine.window_samples, np.float32))
+    assert fired in (True, False)
