@@ -28,7 +28,16 @@ class MfaTextGridConverter:
             if word_len == 0:
                 continue
             start_ms, end_ms = 1000 * interval.xmin, 1000 * interval.xmax
-            end_timestamps.extend(np.linspace(start_ms, end_ms, word_len).tolist())
+            if word_len == 1:
+                # np.linspace(start, end, 1) == [start]: the reference gives a
+                # single-char word/phone an 'end' at the interval START, so
+                # its labeled window would end before any of its audio
+                # (ref training/align/mfa.py linspace). Use the true end; the
+                # multi-char grid stays reference-identical for artifact
+                # compatibility.
+                end_timestamps.append(end_ms)
+            else:
+                end_timestamps.extend(np.linspace(start_ms, end_ms, word_len).tolist())
             words.append(interval.text)
             end_timestamps.append(end_ms)  # the following space
         if end_timestamps:

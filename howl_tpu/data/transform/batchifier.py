@@ -67,6 +67,10 @@ class WakeWordFrameBatchifier:
         self.sample_rate = sample_rate
         self.positive_delta_ms = positive_delta_ms
         self.eps_ms = eps_ms
+        if not pad_to_window:
+            # fixed shapes are mandatory for XLA (module docstring); the
+            # reference's variable-length mode has no equivalent here
+            raise NotImplementedError("pad_to_window=False is not supported (XLA needs static shapes)")
         self.pad_to_window = pad_to_window
         self.context_samples = int(context_samples)
         self.rng = random.Random(seed) if seed is not None else random
@@ -95,7 +99,9 @@ class WakeWordFrameBatchifier:
                 end_ms_rand = end_ms + rng.random() * self.eps_ms
                 b = int(end_ms_rand / 1000 * self.sample_rate)
                 a = max(b - self.window_samples, 0)
-                if b - a < 0:
+                if b - a <= 0:
+                    # degenerate zero-length span (end_ms at clip start):
+                    # an all-zeros window must not carry a positive label
                     select_negative = True
                 else:
                     cut.append((label, clip, a, min(b, clip.shape[-1])))

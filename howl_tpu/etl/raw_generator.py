@@ -3,7 +3,6 @@
 
 from __future__ import annotations
 
-from copy import deepcopy
 from pathlib import Path
 
 from howl_tpu.context import InferenceContext
@@ -56,7 +55,7 @@ class RawAudioDatasetGenerator:
             self.inference_ctx.searcher if self.inference_ctx.token_type == TokenType.WORD else None
         )
         for source in (self.train_ds, self.dev_ds, self.test_ds):
-            dataset = deepcopy(source).filter(keep)
+            dataset = source.filter(keep, clone=True)
             if print_statistics:
                 dataset.print_stats(
                     header=dataset.dataset_split.value, word_searcher=word_searcher, compute_length=True
