@@ -157,11 +157,16 @@ class AudioClassificationDataset(AudioDataset):
         super().__init__(*args, **kwargs)
         self.label_map = label_map or {}
         self.silence_proportion = silence_proportion
-        self._num_silence = int(len(self.metadata_list) * silence_proportion)
 
     def label_of(self, metadata: AudioClipMetadata) -> int:
         default = self.label_map.get("__default__")
         return self.label_map.get(metadata.transcription, default)
+
+    @property
+    def _num_silence(self) -> int:
+        # derived from the CURRENT size (ref dataset.py:318-320) so
+        # filter()/extend() keep the silence fraction honest
+        return int(len(self.metadata_list) * self.silence_proportion)
 
     def __len__(self):
         return len(self.metadata_list) + self._num_silence
@@ -171,6 +176,9 @@ class AudioClassificationDataset(AudioDataset):
             # synthetic silence sample (ref HonkSpeechCommandsDataset:297-320)
             silence = np.zeros(self.sample_rate, dtype=np.float32)
             meta = AudioClipMetadata(path="__silence__.wav", transcription="__silence__")
-            return Sample(meta, silence, self.sample_rate, label=self.label_map.get("__silence__", 0))
+            # silence falls back to the unknown/default class, never to
+            # vocab word 0 (ref: defaultdict label_map, dataset.py:304)
+            silence_label = self.label_map.get("__silence__", self.label_map.get("__default__", 0))
+            return Sample(meta, silence, self.sample_rate, label=silence_label)
         metadata = self.metadata_list[idx]
         return Sample(metadata, self.load_audio(metadata), self.sample_rate, label=self.label_of(metadata))

@@ -45,31 +45,32 @@ class MetadataLoaderMixin:
     metadata_class = AudioClipMetadata
     default_prefix = ""
 
-    def load_splits(self, path: Path, prefix: str = None, **dataset_kwargs):
+    def load_single(self, path: Path, split: DatasetSplit, set_type: DatasetType, prefix: str = None, **dataset_kwargs):
+        """Load ONE split's jsonl (callers iterating splits avoid parsing the
+        other two files each time)."""
         path = Path(path)
         if prefix is None:
             prefix = self.default_prefix
+        filename = path / f"{prefix}metadata-{split.value}.jsonl"
+        if not filename.exists():
+            # reference parity (ref dataset_loader.py:41 opens directly):
+            # a typo'd path/prefix must fail loudly, not train on 0 clips
+            raise FileNotFoundError(f"missing metadata file {filename}")
+        metadata_list = load_metadata_jsonl(filename)
+        # resolve clip paths relative to the dataset's audio dir
+        for metadata in metadata_list:
+            if not metadata.path.is_absolute():
+                metadata.path = path / "audio" / metadata.path
+        return self.dataset_class(
+            metadata_list=metadata_list, set_type=set_type, dataset_split=split, **dataset_kwargs
+        )
 
-        def load(split: DatasetSplit, set_type: DatasetType):
-            filename = path / f"{prefix}metadata-{split.value}.jsonl"
-            metadata_list = []
-            if filename.exists():
-                metadata_list = load_metadata_jsonl(filename)
-                # resolve clip paths relative to the dataset's audio dir
-                for metadata in metadata_list:
-                    if not metadata.path.is_absolute():
-                        metadata.path = path / "audio" / metadata.path
-            else:
-                Logger.warning(f"missing metadata file {filename}; empty split")
-            return self.dataset_class(
-                metadata_list=metadata_list, set_type=set_type, dataset_split=split, **dataset_kwargs
-            )
-
+    def load_splits(self, path: Path, prefix: str = None, **dataset_kwargs):
         Logger.info(f"loading dataset from {path} (prefix={prefix!r})")
         return (
-            load(DatasetSplit.TRAINING, DatasetType.TRAINING),
-            load(DatasetSplit.DEV, DatasetType.DEV),
-            load(DatasetSplit.TEST, DatasetType.TEST),
+            self.load_single(path, DatasetSplit.TRAINING, DatasetType.TRAINING, prefix, **dataset_kwargs),
+            self.load_single(path, DatasetSplit.DEV, DatasetType.DEV, prefix, **dataset_kwargs),
+            self.load_single(path, DatasetSplit.TEST, DatasetType.TEST, prefix, **dataset_kwargs),
         )
 
 

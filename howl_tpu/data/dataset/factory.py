@@ -28,14 +28,16 @@ class HowlAudioDatasetLoader(MetadataLoaderMixin):
         return super().load_splits(path or self.dataset_path, **dataset_kwargs)
 
     def load_split(self, dataset_split: DatasetSplit, **dataset_kwargs):
-        splits = {
-            DatasetSplit.TRAINING: 0,
-            DatasetSplit.DEV: 1,
-            DatasetSplit.TEST: 2,
+        set_types = {
+            DatasetSplit.TRAINING: DatasetType.TRAINING,
+            DatasetSplit.DEV: DatasetType.DEV,
+            DatasetSplit.TEST: DatasetType.TEST,
         }
         ds_kwargs = dict(dataset_kwargs)
         ds_kwargs.pop("dataset_split", None)
-        return self.load_splits(**ds_kwargs)[splits[dataset_split]]
+        # parse only the requested split's jsonl (the reference loader reads
+        # one file per call too, ref howl_audio_dataset_loader.py:_load_dataset)
+        return self.load_single(self.dataset_path, dataset_split, set_types[dataset_split], **ds_kwargs)
 
 
 class _CommonVoiceAdapter:

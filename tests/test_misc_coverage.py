@@ -64,7 +64,6 @@ def test_gsc_silence_injection(tmp_path, monkeypatch):
     n_real = len(train)
     train.label_map["__silence__"] = 3
     train.silence_proportion = 0.5
-    train._num_silence = int(n_real * 0.5)
     assert len(train) == n_real + n_real // 2
     silence_sample = train[len(train) - 1]
     assert silence_sample.label == 3
