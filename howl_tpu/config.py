@@ -163,6 +163,10 @@ class TrainingConfig(_JsonMixin):
             at.hop_length = ds.audio_transform_config.hop_length
             at.use_meyda_spectrogram = ds.audio_transform_config.use_meyda_spectrogram
             settings.audio.sample_rate = ds.audio_config.sample_rate
+            # the mel frontend builds its filterbank from
+            # audio_transform.sample_rate (FrontendConfig.from_settings) —
+            # keep it in lockstep or non-16k configs get a 16k filterbank
+            at.sample_rate = ds.audio_config.sample_rate
             settings.audio.use_mono = ds.audio_config.use_mono
         return settings
 

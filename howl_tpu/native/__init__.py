@@ -102,6 +102,10 @@ class NativeRingBuffer:
         return self._total
 
     def latest(self, n: int) -> np.ndarray:
+        if n > self.capacity:
+            # only `capacity` samples still exist; modulo indexing past that
+            # would re-read overwritten slots as if they were older audio
+            raise ValueError(f"latest({n}) exceeds ring capacity {self.capacity}")
         out = np.zeros(n, np.float32)
         if self._lib is not None:
             self._lib.ring_latest(self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)

@@ -31,11 +31,15 @@ def initialize_multihost(coordinator_address: str = None, num_processes: int = N
     reference has no distributed backend at all)."""
     import jax
 
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(
-            coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id
+    kwargs = {
+        k: v
+        for k, v in (
+            ("coordinator_address", coordinator_address),
+            ("num_processes", num_processes),
+            ("process_id", process_id),
         )
+        if v is not None
+    }
     jax.distributed.initialize(**kwargs)
 
 

@@ -38,6 +38,13 @@ class Workspace:
             metrics = self.path / "metrics.jsonl"
             if metrics.exists():
                 metrics.unlink()
+            # stale TensorBoard event files would render dead runs' curves
+            # overlaid on the new run (ref howl/workspace.py:26-28 rmtree)
+            logs = self.path / "logs"
+            if logs.exists():
+                import shutil
+
+                shutil.rmtree(logs)
 
     # ---- model checkpoints ----
 

@@ -68,6 +68,8 @@ int64_t ring_total_written(const RingBuffer* rb) {
 int64_t ring_latest(const RingBuffer* rb, float* out, int64_t n) {
     int64_t total = rb->write_pos.load(std::memory_order_acquire);
     int64_t avail = total < n ? total : n;
+    // only `capacity` samples still exist; older slots have been overwritten
+    if (avail > rb->capacity) avail = rb->capacity;
     int64_t pad = n - avail;
     std::memset(out, 0, sizeof(float) * pad);
     int64_t start = total - avail;
