@@ -21,6 +21,10 @@ class EngineConfig:
     negative_label: int = 1
     blank_label: int = -1
     num_labels: int = 2
+    # phone mode: dense label -> word-color lookup applied to the smoothed
+    # argmax before the FSM (ref inference.py:156-157 coloring.color_map);
+    # None for word mode
+    label_color_map: Optional[Tuple[int, ...]] = None
 
     @classmethod
     def from_settings(cls, context=None, **overrides) -> "EngineConfig":
@@ -45,6 +49,11 @@ class EngineConfig:
                 blank_label=context.blank_label,
                 num_labels=context.num_labels,
             )
+            coloring = getattr(context, "coloring", None)
+            if coloring is not None:
+                kwargs["label_color_map"] = tuple(
+                    coloring.color_map.get(i, context.negative_label) for i in range(context.num_labels)
+                )
         kwargs.update(overrides)
         return cls(**kwargs)
 

@@ -125,6 +125,10 @@ def detect_step(
     lattice = jnp.where(in_window[:, :, None], pred_ring, -jnp.inf)
     lattice_max = lattice.max(axis=1)  # (B, L)
     max_label = lattice_max.argmax(-1).astype(jnp.int32)
+    if cfg.label_color_map is not None:
+        # phone mode: group the phone argmax into its word color before the
+        # FSM (ref inference.py:156-157)
+        max_label = jnp.asarray(cfg.label_color_map, jnp.int32)[max_label]
     max_prob = lattice_max.max(-1)
     label = jnp.where(max_prob < cfg.inference_threshold, cfg.negative_label, max_label)
 
@@ -215,6 +219,9 @@ def _smooth_and_detect_parallel(
         shifted = jnp.pad(lattice, ((0, 0), (k, 0), (0, 0)), constant_values=-jnp.inf)[:, :t_total]
         smoothed = jnp.maximum(smoothed, shifted)
     max_label = smoothed.argmax(-1).astype(jnp.int32)
+    if cfg.label_color_map is not None:
+        # phone mode: phone argmax -> word color (ref inference.py:156-157)
+        max_label = jnp.asarray(cfg.label_color_map, jnp.int32)[max_label]
     max_prob = smoothed.max(-1)
     labels = jnp.where(max_prob < threshold, cfg.negative_label, max_label)
 

@@ -40,7 +40,11 @@ class OracleEngine:
         lattice = np.stack([p for _, p in self.pred_history])
         lattice_max = lattice.max(axis=0)
         max_label = int(lattice_max.argmax())
-        if lattice_max[max_label] < self.cfg.inference_threshold:
+        max_prob = lattice_max[max_label]
+        if self.cfg.label_color_map is not None:
+            # phone mode: phone argmax -> word color (ref inference.py:156-157)
+            max_label = self.cfg.label_color_map[max_label]
+        if max_prob < self.cfg.inference_threshold:
             max_label = self.cfg.negative_label
         self.label_history.append((curr_time, max_label))
         return max_label

@@ -104,18 +104,25 @@ def silent_load(path: PathLike, sample_rate: int = None, mono: bool = None) -> n
 
 
 def stride(
-    audio: np.ndarray, window_ms: float, stride_ms: float, sample_rate: int = None
+    audio: np.ndarray, window_ms: float, stride_ms: float, sample_rate: int = None,
+    drop_incomplete: bool = True,
 ) -> Iterator[np.ndarray]:
     """Yield sliding windows over the last axis (ref: howl/utils/audio_utils.py:26).
 
-    Windows start every ``stride_ms``; the final, shorter window is included,
-    matching the reference generator's behavior.
+    Windows start every ``stride_ms``. ``drop_incomplete=True`` (the
+    reference default) stops at the first window shorter than ``window_ms``;
+    pass False to also yield the shorter tail windows.
     """
     sample_rate = sample_rate or SETTINGS.audio.sample_rate
     window = int(window_ms / 1000 * sample_rate)
     hop = int(stride_ms / 1000 * sample_rate)
-    for start in range(0, max(audio.shape[-1] - 1, 0), hop):
-        yield audio[..., start : start + window]
+    start = 0
+    while start < audio.shape[-1]:
+        sliced = audio[..., start : start + window]
+        if sliced.shape[-1] != window and drop_incomplete:
+            return
+        yield sliced
+        start += hop
 
 
 def wav_num_samples(path: PathLike, target_sr: int = None) -> int:

@@ -34,7 +34,11 @@ def energy_keyword_validator(wav_path: Path, wakeword: str) -> bool:
     if audio.shape[-1] == 0:
         return False
     num_words = max(len(wakeword.split()), 1)
-    bursts = count_voiced_bursts(audio, 16000)
+    from howl_tpu.settings import SETTINGS
+
+    # silent_load resamples to the configured rate; frame the bursts at that
+    # same rate or the 30 ms frames are wrong for non-16k configs
+    bursts = count_voiced_bursts(audio, SETTINGS.audio.sample_rate)
     # stitched clips concatenate word cuts directly; require at least one burst
     # and no more than a small multiple of the word count
     return 1 <= bursts <= 3 * num_words

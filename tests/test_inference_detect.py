@@ -260,3 +260,55 @@ def test_sequential_and_parallel_paths_agree(seed):
         s_first = np.argmax(s_fired[b]) if s_fired[b].any() else -1
         p_first = np.argmax(p_fired[b]) if p_fired[b].any() else -1
         assert s_first == p_first
+
+
+def test_phone_mode_label_coloring():
+    """Phone-mode FSM parity (ref inference.py:156-157): the smoothed phone
+    argmax is grouped into its word color before the sequence matcher, so the
+    wakeword fires on the phone sequence of the words — and raw phone ids
+    that would accidentally spell the word-color sequence do NOT fire."""
+    import numpy as np
+
+    from howl_tpu.inference.config import EngineConfig
+    from howl_tpu.inference.detect import smooth_and_detect
+    from howl_tpu.inference.oracle import OracleEngine
+
+    # 6 phones over 3 words (2 phones each) + negative; colors: phone i -> i//2
+    color_map = (0, 0, 1, 1, 2, 2, 6)
+    cfg = EngineConfig(
+        inference_sequence=(0, 1, 2),
+        inference_window_ms=2000.0,
+        smoothing_window_ms=1.0,  # no smoothing: each step stands alone
+        tolerance_window_ms=500.0,
+        inference_threshold=0.5,
+        eval_stride_size_ms=62.5,
+        negative_label=6,
+        num_labels=7,
+        label_color_map=color_map,
+    )
+
+    def probs_for(label_seq):
+        t = len(label_seq)
+        probs = np.full((1, t, 7), 0.01, np.float32)
+        for i, lab in enumerate(label_seq):
+            probs[0, i, lab] = 0.9
+        return probs
+
+    times = np.arange(8, dtype=np.float32) * 62.5
+
+    # phones of word0 (0), word1 (2), word2 (5) in order -> colors 0,1,2: fires
+    seq = [0, 0, 2, 3, 5, 5, 6, 6]
+    valid = np.ones((1, 8), bool)
+    out = smooth_and_detect(probs_for(seq), times, valid, cfg)
+    assert bool(np.asarray(out["detected"])[0])
+
+    # raw phone ids 0,1,2: colors 0,0,1 -> must NOT fire (pre-fix they did)
+    seq_bad = [0, 1, 2, 6, 6, 6, 6, 6]
+    out_bad = smooth_and_detect(probs_for(seq_bad), times, valid, cfg)
+    assert not bool(np.asarray(out_bad["detected"])[0])
+
+    # oracle agrees on both
+    for s, expect in ((seq, True), (seq_bad, False)):
+        oracle = OracleEngine(cfg)
+        labels, fired = oracle.run(probs_for(s)[0], times)
+        assert bool(fired.any()) is expect

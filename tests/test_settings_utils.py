@@ -108,9 +108,12 @@ def test_stride_windows():
 
     audio = np.arange(16000, dtype=np.float32)  # 1 s at 16 kHz
     windows = list(stride(audio, 500, 250, 16000))
-    assert windows[0].shape[-1] == 8000
+    # reference default drops incomplete tails: full windows only
+    assert len(windows) == 3 and all(w.shape[-1] == 8000 for w in windows)
     assert np.all(windows[1][:10] == np.arange(4000, 4010))
-    assert windows[-1].shape[-1] <= 8000
+    tail = list(stride(audio, 500, 250, 16000, drop_incomplete=False))
+    assert len(tail) > 3 and tail[-1].shape[-1] < 8000
+    assert list(stride(np.zeros(0, np.float32), 500, 250, 16000)) == []
 
 
 def test_frame_count():
