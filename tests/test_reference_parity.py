@@ -359,3 +359,36 @@ def test_phonetic_transform_unk_divergence(ref, tmp_path):
     )
     with pytest.raises(ValueError):
         rl.transform("<unk>")
+
+
+def test_stride_differential_vs_reference(rng):
+    """Window-for-window parity of utils.audio_utils.stride with the
+    reference generator (ref howl/utils/audio_utils.py:26) across random
+    geometries, including the drop_incomplete flag both ways."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if "librosa" not in sys.modules:
+        # the reference module imports librosa at top level for silent_load;
+        # stride() never touches it — a bare stub suffices in this image
+        import types
+
+        sys.modules["librosa"] = types.ModuleType("librosa")
+    from howl.utils.audio_utils import stride as ref_stride
+
+    from howl_tpu.utils.audio_utils import stride as our_stride
+
+    r = random.Random(7)
+    for _ in range(25):
+        n = r.randint(0, 40000)
+        window_ms = r.choice([100, 250, 500, 517])
+        stride_ms = r.choice([50, 63, 125, 250])
+        drop = r.random() < 0.5
+        audio = rng.standard_normal(n).astype(np.float32)
+        ours = list(our_stride(audio, window_ms, stride_ms, 16000, drop_incomplete=drop))
+        refs = list(ref_stride(torch.from_numpy(audio), window_ms, stride_ms, 16000, drop_incomplete=drop))
+        assert len(ours) == len(refs), (n, window_ms, stride_ms, drop)
+        for a, b in zip(ours, refs):
+            np.testing.assert_array_equal(a, b.numpy())
