@@ -19,7 +19,7 @@ def run(args=None):
     apb.add_options(
         opt("--model", type=str, choices=sorted(MODEL_REGISTRY), default=None),
         opt("--workspace", type=str, default=str(Path("workspaces") / "default")),
-        opt("--wav", type=str, nargs="*", default=None, help="replay WAV files instead of the microphone"),
+        opt("--wav", type=str, nargs="+", default=None, help="replay WAV files instead of the microphone"),
     )
     args = apb.parser.parse_args(args)
 

@@ -21,6 +21,12 @@ PROTOCOL_TRAINING = {
     "batch_size": 64,
     "max_window_size_seconds": 1.0,
     "eval_window_size_seconds": 1.0,
+    # the reference protocol pins these per run (ref eval_commands_
+    # recognition.py:70-74); without them ambient env/defaults leak in and
+    # the accuracy table is not comparable
+    "weight_decay": 0.00001,
+    "lr_decay": 0.8,
+    "use_noise_dataset": False,
 }
 MODEL_LR = {"res8": 0.01}
 DEFAULT_LR = 0.001

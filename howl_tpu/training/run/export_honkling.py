@@ -58,6 +58,10 @@ def generic_variables_to_dict(variables: dict) -> dict:
 
 
 def run(args=None):
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()  # honor JAX_PLATFORMS=cpu for a pure format conversion
+
     apb = ArgumentParserBuilder()
     apb.add_options(
         opt("--input-file", "-i", type=str, required=True, help="model .flax checkpoint"),

@@ -33,7 +33,9 @@ def copy_files(dataset, output_dir: Path, deep_copy: bool = False):
             if deep_copy:
                 copyfile(metadata.path, output_path)
             else:
-                os.symlink(metadata.path, output_path)
+                # resolve: a relative dataset path would create symlinks
+                # interpreted relative to the LINK's directory (all dangling)
+                os.symlink(Path(metadata.path).resolve(), output_path)
         except FileExistsError:
             pass
 
@@ -78,7 +80,7 @@ def run(args=None):
         splits[DatasetSplit.DEV].extend(dev_ds)
         splits[DatasetSplit.TEST].extend(test_ds)
 
-    noise_windows = None
+    noise_banks = None
     if SETTINGS.training.use_noise_dataset and SETTINGS.training.noise_dataset_path:
         from howl_tpu.training.run.train import build_noise_bank
 
@@ -87,8 +89,15 @@ def run(args=None):
             sample_rate=SETTINGS.audio.sample_rate,
             mono=SETTINGS.audio.use_mono,
         )
+        # disjoint dev/test noise (ref generate_precise_dataset.py:106-110):
+        # sharing one bank would mix eval clips with training-adjacent noise
         _, noise_rest = noise_ds.split(Sha256Splitter(80))
-        noise_windows = build_noise_bank(noise_rest if len(noise_rest) else noise_ds, SETTINGS.audio.sample_rate * 2)
+        noise_dev, noise_test = noise_rest.split(Sha256Splitter(50))
+        chunk = SETTINGS.audio.sample_rate * 2
+        noise_banks = {
+            DatasetSplit.DEV: build_noise_bank(noise_dev if len(noise_dev) else noise_ds, chunk),
+            DatasetSplit.TEST: build_noise_bank(noise_test if len(noise_test) else noise_ds, chunk),
+        }
 
     output = Path(args.output_path)
     dir_names = {DatasetSplit.TRAINING: "", DatasetSplit.DEV: "dev", DatasetSplit.TEST: "test"}
@@ -99,9 +108,14 @@ def run(args=None):
         copy_files(pos, base / "wake-word", args.deep_copy)
         copy_files(neg, base / "not-wake-word", args.deep_copy)
         Logger.info(f"{split.value}: {len(pos)} wake-word, {len(neg)} not-wake-word")
-        if noise_windows is not None:
-            write_noisy_files(pos, base / "noisy-wake-word", noise_windows)
-            write_noisy_files(neg, base / "noisy-not-wake-word", noise_windows)
+        # noisy variants exist for dev/test only, under the reference's
+        # sibling layout (noisy-dev/wake-word etc., ref :115-130) — precise
+        # tooling only recognizes wake-word/ and not-wake-word/ dir names
+        bank = noise_banks.get(split) if noise_banks else None
+        if bank is not None:
+            noisy_base = output / f"noisy-{dir_names[split]}"
+            write_noisy_files(pos, noisy_base / "wake-word", bank)
+            write_noisy_files(neg, noisy_base / "not-wake-word", bank)
 
 
 def main():

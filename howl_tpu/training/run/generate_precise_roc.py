@@ -61,6 +61,11 @@ def run(args=None):
         neg_hours = 1.0
         if args.exp_type:
             neg_hours = KNOWN_NEGATIVE_SECONDS[args.exp_type][args.split.lower()] / 3600.0
+        else:
+            Logger.warning(
+                "--precise-results without --exp-type: plotting raw FP counts "
+                "on the FAH axis (negative hours unknown, assumed 1.0)"
+            )
         precise = load_precise_metrics(Path(args.precise_results), neg_hours)
         precise.sort(key=lambda p: p[1])
         ax.plot(

@@ -60,6 +60,10 @@ def run(args=None):
 
     fig, ax = plt.subplots(figsize=(6, 4.5))
     names = args.names or [Path(d).parent.name for d in args.report_dirs]
+    if len(names) != len(args.report_dirs):
+        raise SystemExit(
+            f"--names has {len(names)} entries for {len(args.report_dirs)} report dirs"
+        )
     curves = {}
     for report_dir, name in zip(args.report_dirs, names):
         csv_path = Path(report_dir) / ("report_noisy.csv" if args.noisy else "report_clean.csv")

@@ -132,6 +132,37 @@ def test_generate_precise_dataset(tmp_path, monkeypatch):
     assert (out / "test" / "not-wake-word").exists()
 
 
+def test_generate_precise_dataset_noisy_layout(tmp_path, monkeypatch):
+    """Noisy variants land in the reference's sibling layout
+    (noisy-dev/wake-word etc. — precise tooling only recognizes the literal
+    wake-word/ and not-wake-word/ dir names), dev/test only; symlinks resolve
+    even for a relative input path."""
+    import os
+
+    from tests.fixtures import make_noise_dir, make_wakeword_corpus
+
+    corpus = make_wakeword_corpus(tmp_path / "ww", n_positive=4, n_negative=4)
+    noise = make_noise_dir(tmp_path / "noise", n=4, seconds=2.5)
+    monkeypatch.setenv("VOCAB", '["hey","fire","fox"]')
+    monkeypatch.setenv("INFERENCE_SEQUENCE", "[0,1,2]")
+    monkeypatch.setenv("USE_NOISE_DATASET", "True")
+    monkeypatch.setenv("NOISE_DATASET_PATH", str(noise))
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.training.run.generate_precise_dataset import run as precise_run
+
+    out = tmp_path / "precise_noisy"
+    monkeypatch.chdir(tmp_path)  # relative -i exercises symlink resolution
+    precise_run(["-i", "ww", "-o", str(out)])
+    for split in ("dev", "test"):
+        noisy = out / f"noisy-{split}" / "wake-word"
+        assert noisy.exists() and len(list(noisy.glob("*.wav"))) > 0
+    assert not (out / "noisy-" / "wake-word").exists()  # no noisy training split
+    link = next((out / "wake-word").glob("*.wav"))
+    assert os.path.islink(link) and os.path.exists(link)  # resolved, not dangling
+
+
 @pytest.mark.slow
 def test_pretrain_vision_synthetic(tmp_path, monkeypatch):
     monkeypatch.setenv("NUM_EPOCHS", "3")
