@@ -44,16 +44,22 @@ class EngineConfig:
             sample_rate=SETTINGS.audio.sample_rate,
         )
         if context is not None:
+            negative_label = context.negative_label
+            coloring = getattr(context, "coloring", None)
+            if coloring is not None:
+                # phone mode: the reference colors the negative label itself
+                # (ref inference.py:49-50) and uses the COLORED value both as
+                # the .get default for unmapped labels and as the
+                # below-threshold fallback (ref inference.py:156-159)
+                negative_label = coloring.color_map[negative_label]
+                kwargs["label_color_map"] = tuple(
+                    coloring.color_map.get(i, negative_label) for i in range(context.num_labels)
+                )
             kwargs.update(
-                negative_label=context.negative_label,
+                negative_label=negative_label,
                 blank_label=context.blank_label,
                 num_labels=context.num_labels,
             )
-            coloring = getattr(context, "coloring", None)
-            if coloring is not None:
-                kwargs["label_color_map"] = tuple(
-                    coloring.color_map.get(i, context.negative_label) for i in range(context.num_labels)
-                )
         kwargs.update(overrides)
         return cls(**kwargs)
 

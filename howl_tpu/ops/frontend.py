@@ -115,7 +115,13 @@ def nyquist_crop_bins(config: "FrontendConfig") -> int:
     separate 257-bin matrices each padded 257 -> 384 lanes (1.5x dead MXU
     work). Verified against the full-width oracle (incl. VTLP warps) in
     tests/test_frontend.py.
+
+    The zero-weight argument only holds when the top triangle ends at or
+    below Nyquist; an f_max above Nyquist would silently drop real spectral
+    energy, so fall back to the full bin count there.
     """
+    if config.f_max is not None and config.f_max > config.sample_rate / 2:
+        return config.n_freqs
     return config.n_fft // 2 if config.n_fft % 2 == 0 else config.n_freqs
 
 

@@ -80,11 +80,24 @@ def _split_bf16(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _passes_for(precision) -> int:
+    """Map a precision request to the pass count. Explicit matching only —
+    an unrecognized value raises instead of silently landing on a mode with
+    different accuracy (the 2/3/6-pass grades differ by orders of magnitude)."""
     if precision is None:
         return 3
-    if precision == 2 or precision == "bf16x2":
+    if precision == "bf16x2":
         return 2
-    return 6  # Precision.HIGHEST or anything else explicit
+    if isinstance(precision, jax.lax.Precision):
+        # HIGH = 3-pass bf16x2 (drops only the lo*lo term, ~2^-17 relative);
+        # HIGHEST = Mosaic native f32 (6-pass oracle grade)
+        if precision == jax.lax.Precision.HIGH:
+            return 3
+        if precision == jax.lax.Precision.HIGHEST:
+            return 6
+    raise ValueError(
+        f"unsupported Pallas frontend precision {precision!r}: expected None, "
+        "'bf16x2', Precision.HIGH, or Precision.HIGHEST"
+    )
 
 
 def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, log_offset):

@@ -185,7 +185,6 @@ def run(args=None) -> dict:
         for ds in (train_ds, dev_ds, test_ds):
             ds.label_map.setdefault("__silence__", len(SETTINGS.training.vocab) + 1)
             ds.silence_proportion = args.silence_proportion
-            ds.silence_proportion = args.silence_proportion
     Logger.info(f"splits: train={len(train_ds)} dev={len(dev_ds)} test={len(test_ds)}")
 
     batch_size = SETTINGS.training.batch_size
