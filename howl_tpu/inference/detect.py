@@ -196,23 +196,14 @@ def smooth_and_detect(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "s_steps", "w_steps", "stride", "check_offset"))
-def _smooth_and_detect_parallel(
-    probs_seq: jnp.ndarray,
-    valid_seq: jnp.ndarray,
-    threshold: jnp.ndarray,
-    cfg: EngineConfig,
-    s_steps: int,
-    w_steps: int,
-    stride: float,
-    check_offset: float,
-) -> dict:
-    batch, t_total, num_labels = probs_seq.shape
+def _smooth_parallel(probs_seq, valid_seq, cfg: EngineConfig, s_steps: int):
+    """Threshold-independent half: masked-max smoothing over s_steps shifts
+    plus the phone->color remap. Returns (max_label, max_prob, valid_seq)."""
+    t_total = probs_seq.shape[1]
     valid_seq = valid_seq.astype(bool)
     if cfg.blank_label >= 0:
         valid_seq = valid_seq & (probs_seq.argmax(-1) != cfg.blank_label)
 
-    # ---- smoothing for all steps at once: masked max over s_steps shifts
     lattice = jnp.where(valid_seq[:, :, None], probs_seq, -jnp.inf)
     smoothed = lattice
     for k in range(1, s_steps):
@@ -223,9 +214,14 @@ def _smooth_and_detect_parallel(
         # phone mode: phone argmax -> word color (ref inference.py:156-157)
         max_label = jnp.asarray(cfg.label_color_map, jnp.int32)[max_label]
     max_prob = smoothed.max(-1)
-    labels = jnp.where(max_prob < threshold, cfg.negative_label, max_label)
+    return max_label, max_prob, valid_seq
 
-    # ---- FSM for all steps at once over trailing label windows
+
+def _fsm_parallel(labels, valid_seq, cfg: EngineConfig, w_steps: int, stride: float, check_offset: float):
+    """FSM for all steps at once over trailing label windows; thresholded
+    labels in, per-step fire decisions out. vmap-safe over a leading
+    thresholds axis (all ops are elementwise over the (B, T) state)."""
+    batch, t_total = labels.shape
     seq = jnp.asarray(cfg.inference_sequence, jnp.int32)
     k_len = len(cfg.inference_sequence)
     # padded[:, t + j] = entry at step t - (w_steps-1-j), oldest first
@@ -270,6 +266,65 @@ def _smooth_and_detect_parallel(
         "detected": detected,
         "first_fire_step": first_fire,
     }
+
+
+@partial(jax.jit, static_argnames=("cfg", "s_steps", "w_steps", "stride", "check_offset"))
+def _smooth_and_detect_parallel(
+    probs_seq: jnp.ndarray,
+    valid_seq: jnp.ndarray,
+    threshold: jnp.ndarray,
+    cfg: EngineConfig,
+    s_steps: int,
+    w_steps: int,
+    stride: float,
+    check_offset: float,
+) -> dict:
+    max_label, max_prob, valid_seq = _smooth_parallel(probs_seq, valid_seq, cfg, s_steps)
+    labels = jnp.where(max_prob < threshold, cfg.negative_label, max_label)
+    return _fsm_parallel(labels, valid_seq, cfg, w_steps, stride, check_offset)
+
+
+@partial(jax.jit, static_argnames=("cfg", "s_steps", "w_steps", "stride", "check_offset"))
+def _smooth_and_detect_sweep(
+    probs_seq: jnp.ndarray,
+    valid_seq: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    cfg: EngineConfig,
+    s_steps: int,
+    w_steps: int,
+    stride: float,
+    check_offset: float,
+) -> dict:
+    """All thresholds in ONE dispatch: the (expensive, threshold-independent)
+    smoothing runs once, then the FSM is vmapped over the thresholds axis —
+    every output gains a leading (K,) dim. Replaces K sequential
+    detect_from_scores dispatches (each paying 0.4-2 ms relay latency,
+    CLAUDE.md) with one."""
+    max_label, max_prob, valid_seq = _smooth_parallel(probs_seq, valid_seq, cfg, s_steps)
+
+    def per_threshold(threshold):
+        labels = jnp.where(max_prob < threshold, cfg.negative_label, max_label)
+        return _fsm_parallel(labels, valid_seq, cfg, w_steps, stride, check_offset)
+
+    return jax.vmap(per_threshold)(jnp.asarray(thresholds, jnp.float32))
+
+
+def smooth_and_detect_sweep(probs_seq, times, valid_seq, thresholds, cfg: EngineConfig, check_offset_is_stride: bool = True) -> dict:
+    """Threshold-sweep variant of smooth_and_detect: one device dispatch for
+    all thresholds; outputs carry a leading (K,) thresholds axis."""
+    import dataclasses
+
+    times = np.asarray(times, np.float32)
+    stride = float(times[1] - times[0]) if times.shape[0] > 1 else cfg.eval_stride_size_ms
+    stride = max(stride, 1e-6)
+    s_steps = max(int(cfg.smoothing_window_ms // stride) + 1, 1)
+    check_offset = stride if check_offset_is_stride else 0.0
+    w_steps = max(int((cfg.inference_window_ms - check_offset) // stride) + 1, 1)
+    static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
+    return _smooth_and_detect_sweep(
+        probs_seq, valid_seq, jnp.asarray(thresholds, jnp.float32), static_cfg,
+        s_steps, w_steps, float(stride), float(check_offset)
+    )
 
 
 def apply_inference_weights(probs: jnp.ndarray, cfg: EngineConfig) -> jnp.ndarray:

@@ -37,8 +37,10 @@ import numpy as np
 from howl_tpu.inference.config import EngineConfig
 from howl_tpu.inference.detect import (
     _smooth_and_detect_parallel,
+    _smooth_and_detect_sweep,
     apply_inference_weights,
     smooth_and_detect,
+    smooth_and_detect_sweep,
 )
 from howl_tpu.models.base import ModelSpec, model_spec
 from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
@@ -283,6 +285,35 @@ class StreamingEngine:
 
         return infer_fn
 
+    def _build_infer_sweep_fused(self):
+        """Fused scoring + ALL-thresholds detection in one dispatch: the model
+        scores once, the (cheap) FSM is vmapped over the thresholds axis.
+        One relay round-trip per eval batch instead of 1 + K."""
+        cfg = self.cfg
+        spec = self.spec
+        score = self._score
+        import dataclasses
+
+        static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
+
+        @partial(jax.jit, static_argnames=("n_windows", "s_steps", "w_steps", "stride", "check_offset"))
+        def sweep_fn(variables, audio, lengths, thresholds, n_windows, s_steps, w_steps, stride, check_offset):
+            probs = score(variables, audio, n_windows)  # (B, T, L)
+            t_steps = probs.shape[1]
+            probs = apply_inference_weights(probs, cfg)
+            if spec.is_sequential:
+                frame_len = self.model.compute_length(lengths // self.frontend.hop_length + 1)
+                frame_len = jnp.clip(frame_len, 1, t_steps)
+                valid = jnp.arange(t_steps)[None, :] < frame_len[:, None]
+            else:
+                win_start = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
+                valid = (lengths[:, None] - win_start) >= 1000
+            return _smooth_and_detect_sweep(
+                probs, valid, thresholds, static_cfg, s_steps, w_steps, stride, check_offset
+            )["detected"]  # (K, B)
+
+        return sweep_fn
+
     # ---- public API ----
 
     def score_batch(self, audio, lengths=None) -> dict:
@@ -343,6 +374,40 @@ class StreamingEngine:
         result["times_ms"] = scores["times_ms"]
         result["probs"] = scores["probs"]
         return result
+
+    def detect_sweep_from_scores(self, scores: dict, thresholds) -> dict:
+        """Smoothing + FSM over cached posteriors at ALL thresholds in ONE
+        dispatch (vs one detect_from_scores call per threshold). Outputs carry
+        a leading (K,) thresholds axis."""
+        return smooth_and_detect_sweep(
+            scores["probs"], scores["times_ms"], scores["valid"], thresholds,
+            self.cfg, scores["check_offset_is_stride"],
+        )
+
+    def infer_sweep_batch(self, audio, lengths=None, thresholds=()) -> np.ndarray:
+        """Score B clips and decide at K thresholds, ONE device dispatch total.
+        Returns detected (K, B) as a host array."""
+        audio = jnp.asarray(audio)
+        batch, num_samples = audio.shape
+        geom = self._step_geometry(batch, num_samples)
+        if lengths is None:
+            lengths = jnp.full((batch,), num_samples, jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths)
+        if not hasattr(self, "_sweep_fn"):
+            self._sweep_fn = self._build_infer_sweep_fused()
+        detected = self._sweep_fn(
+            self.variables,
+            audio,
+            lengths,
+            jnp.asarray(thresholds, jnp.float32),
+            n_windows=geom["n_win"],
+            s_steps=geom["s_steps"],
+            w_steps=geom["w_steps"],
+            stride=geom["stride"],
+            check_offset=geom["check_offset"],
+        )
+        return np.asarray(detected)
 
     def infer_batch(self, audio, lengths=None, threshold: Optional[float] = None) -> dict:
         """Score B clips; returns detected (B,), first fire step, per-step labels.

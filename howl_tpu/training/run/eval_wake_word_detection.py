@@ -59,7 +59,11 @@ def sweep_workspace(workspace_path: Path, model_name: str, dataset_paths, thresh
         online.model, online.variables, online.cfg, online.frontend,
         online.zmuv_mean, online.zmuv_std, spec=model_spec(model_name),
     )
-    evaluator = BatchedEvaluator(engine)
+    # eval batches split over all devices' data axis (padding handles ragged
+    # final batches); identical results to single-device (test_train_dp.py)
+    from howl_tpu.parallel.mesh import make_mesh
+
+    evaluator = BatchedEvaluator(engine, mesh=make_mesh())
 
     loader = WakeWordDatasetLoader()
     ds_kwargs = dict(sample_rate=SETTINGS.audio.sample_rate, mono=SETTINGS.audio.use_mono, frame_labeler=ctx.labeler)
@@ -360,7 +364,8 @@ def run(args=None) -> dict:
         # ---- TRAIN PHASE (all seeds concurrently, one sharded program) ----
         train_seeds_sharded(args, base, missing)
     else:
-        # ---- TRAIN PHASE (sequential seeds; each run is mesh-DP internally) ----
+        # ---- TRAIN PHASE (sequential seeds; each train_run builds its own
+        # data-parallel mesh over all devices — train.py --num-devices) ----
         for seed in range(args.num_models):
             ws = seed_workspaces[seed]
             if args.skip_training or (ws / "model-best.flax").exists():

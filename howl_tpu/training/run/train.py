@@ -38,6 +38,7 @@ from howl_tpu.models.base import model_spec
 from howl_tpu.ops.augment import AugmentConfig
 from howl_tpu.ops.frontend import FrontendConfig
 from howl_tpu.ops.zmuv import ZmuvTransform
+from howl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from howl_tpu.settings import SETTINGS
 from howl_tpu.training.state import create_train_state, param_count
 from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step, make_ctc_train_step
@@ -89,12 +90,33 @@ def mix_for_eval(audio, noise_bank, seed: int = 0, strength: float = 0.2, prob: 
 
 
 class BatchedEvaluator:
-    """Scores whole eval splits through StreamingEngine with length bucketing."""
+    """Scores whole eval splits through StreamingEngine with length bucketing.
 
-    def __init__(self, engine: StreamingEngine, bucket_seconds: float = 1.0, max_batch: int = 256):
+    With ``mesh``, each eval batch is split over the mesh's ``data`` axis and
+    the engine variables replicate across it, so the hey-snips-scale sweeps
+    (13,943 negatives) ride all chips; results are identical to the
+    single-device path (tests/test_train_dp.py)."""
+
+    def __init__(self, engine: StreamingEngine, bucket_seconds: float = 1.0, max_batch: int = 256, mesh=None):
         self.engine = engine
         self.bucket_samples = int(bucket_seconds * engine.cfg.sample_rate)
         self.max_batch = max_batch
+        self.mesh = mesh
+        if mesh is not None:
+            engine.variables = replicate(engine.variables, mesh)
+
+    def _shard(self, chunk_len: int, audio, lengths):
+        """Pad rows to a multiple of the data-axis size and place on the mesh.
+        Padded rows have length 0 (every window masked invalid) and are
+        sliced off the results by the callers via ``chunk_len``."""
+        if self.mesh is None:
+            return audio, lengths
+        n_data = self.mesh.shape["data"]
+        pad = -chunk_len % n_data
+        if pad:
+            audio = np.concatenate([np.asarray(audio), np.zeros((pad, audio.shape[1]), np.float32)])
+            lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+        return shard_batch((audio, lengths), self.mesh)
 
     def _batches(self, dataset, mixer_bank, mixer_seed):
         buckets = {}
@@ -119,6 +141,7 @@ class BatchedEvaluator:
                 if mixer_bank is not None:
                     audio = mix_for_eval(audio, mixer_bank, seed=mixer_seed, fold=batch_counter)
                 batch_counter += 1
+                audio, lengths = self._shard(len(chunk), audio, lengths)
                 yield chunk, audio, lengths
 
     def evaluate(self, dataset, positive_set: bool, mixer_bank: Optional[np.ndarray] = None, mixer_seed: int = 0):
@@ -127,7 +150,7 @@ class BatchedEvaluator:
         errors = []
         for chunk, audio, lengths in self._batches(dataset, mixer_bank, mixer_seed):
             result = self.engine.infer_batch(audio, lengths)
-            detected = np.asarray(result["detected"])
+            detected = np.asarray(result["detected"])[: len(chunk)]
             conf.increment_array(detected, np.full(len(chunk), positive_set))
             for row, (_, sample) in enumerate(chunk):
                 if bool(detected[row]) != positive_set:
@@ -144,19 +167,20 @@ class BatchedEvaluator:
         mixer_bank: Optional[np.ndarray] = None,
         mixer_seed: int = 0,
     ):
-        """Threshold sweep with ONE model pass: posteriors are scored once per
-        batch, then the cheap smoothing+FSM re-runs per threshold (the
-        reference re-runs full training eval per threshold,
-        ref eval_wake_word_detection.py:241-256).
+        """Threshold sweep as ONE device dispatch per batch: the model scores
+        once and the cheap smoothing+FSM is vmapped over the thresholds axis
+        (the reference re-runs full training eval per threshold,
+        ref eval_wake_word_detection.py:241-256; round 2 here still paid one
+        relay round-trip per threshold per batch).
 
         Returns ({threshold: ConfusionMatrix}, total_audio_ms)."""
-        results = {float(t): ConfusionMatrix() for t in thresholds}
+        thresholds = [float(t) for t in thresholds]
+        results = {t: ConfusionMatrix() for t in thresholds}
         for chunk, audio, lengths in self._batches(dataset, mixer_bank, mixer_seed):
-            scores = self.engine.score_batch(audio, lengths)
+            detected = self.engine.infer_sweep_batch(audio, lengths, thresholds)  # (K, B)
             labels = np.full(len(chunk), positive_set)
-            for t in thresholds:
-                detected = np.asarray(self.engine.detect_from_scores(scores, threshold=t)["detected"])
-                results[float(t)].increment_array(detected, labels)
+            for k, t in enumerate(thresholds):
+                results[t].increment_array(detected[k, : len(chunk)], labels)
         return results, self.last_total_ms
 
 
@@ -179,6 +203,17 @@ def run(args=None) -> dict:
         opt("--use-augment", action="store_true", default=True),
         opt("--no-augment", dest="use_augment", action="store_false"),
         opt("--seed", type=int, default=None, help="override SETTINGS.training.seed (explicit plumbing; no env mutation)"),
+        opt(
+            "--num-devices",
+            type=int,
+            default=0,
+            help="data-parallel mesh size for training AND batched eval "
+            "(0 = largest divisor of the batch size <= all devices). Params "
+            "replicate, batches split on the data axis; GSPMD inserts the "
+            "gradient all-reduce and global BatchNorm stats (SURVEY.md §2.9 "
+            "first-class add #1 — replaces the reference's single .to(device), "
+            "ref train.py:131)",
+        ),
         opt(
             "--fused-trunk",
             action="store_true",
@@ -320,6 +355,19 @@ def run(args=None) -> dict:
     Logger.info(f"zmuv: mean={zmuv.mean:.4f} std={zmuv.std:.4f}")
 
     Logger.heading("Model preparation")
+    batch_size = SETTINGS.training.batch_size
+    n_avail = len(jax.devices())
+    if args.num_devices:
+        if batch_size % args.num_devices:
+            raise SystemExit(
+                f"--num-devices {args.num_devices} must divide the batch size {batch_size}"
+            )
+        n_data = args.num_devices
+    else:
+        n_data = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
+    mesh = make_mesh(data=n_data)
+    Logger.info(f"mesh: {mesh}")
+
     step_cfg = StepConfig(
         frontend=frontend_cfg,
         zmuv_mean=zmuv.mean,
@@ -374,6 +422,11 @@ def run(args=None) -> dict:
             {"params": state.params, "batch_stats": state.batch_stats}, best=not args.load_last
         )
         state = state.replace(params=variables["params"], batch_stats=variables["batch_stats"])
+    # params/opt-state replicate across the mesh; batches arrive split on the
+    # data axis (shard_batch below) and GSPMD derives the gradient all-reduce
+    # and cross-replica BatchNorm stats (tests/test_train_dp.py proves 1-vs-8
+    # device step equivalence)
+    state = replicate(state, mesh)
 
     def make_engine() -> StreamingEngine:
         eng_cfg = EngineConfig.from_settings(ctx)
@@ -384,7 +437,7 @@ def run(args=None) -> dict:
 
     def evaluate_engine(dataset, prefix: str, positive_set: bool, save: bool = False, mixer_bank=None, epoch_idx: int = 0):
         engine = make_engine()
-        evaluator = BatchedEvaluator(engine)
+        evaluator = BatchedEvaluator(engine, mesh=mesh)
         conf, errors, total_ms = evaluator.evaluate(dataset, positive_set, mixer_bank)
         Logger.info(f"{prefix}: {conf} mcc={conf.mcc:.4f}")
         with (workspace.path / "errors.tsv").open("a") as error_file:
@@ -432,7 +485,6 @@ def run(args=None) -> dict:
         train_step = make_ctc_train_step(model, step_cfg, noise_bank_dev)
 
     key = jax.random.PRNGKey(SETTINGS.training.seed + 1)
-    batch_size = SETTINGS.training.batch_size
     rng = np.random.default_rng(SETTINGS.training.seed)
     timestretch = None
     if args.use_timestretch and args.use_augment:
@@ -450,13 +502,15 @@ def run(args=None) -> dict:
                 samples = timestretch(samples)
             batch = batchifier(samples)
             if use_frame:
-                state, metrics = train_step(
-                    state, batch.audio_data, batch.labels, batch.lengths, key
+                audio, labels, lengths = shard_batch(
+                    (batch.audio_data, batch.labels, batch.lengths), mesh
                 )
+                state, metrics = train_step(state, audio, labels, lengths, key)
             else:
-                state, metrics = train_step(
-                    state, batch.audio_data, batch.labels, batch.audio_lengths, batch.label_lengths, key
+                audio, labels, audio_lengths, label_lengths = shard_batch(
+                    (batch.audio_data, batch.labels, batch.audio_lengths, batch.label_lengths), mesh
                 )
+                state, metrics = train_step(state, audio, labels, audio_lengths, label_lengths, key)
             losses.append(float(metrics["loss"]))
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         workspace.log_scalar("Training/Loss", mean_loss, epoch_idx)

@@ -223,3 +223,28 @@ def test_fused_infer_batch_matches_two_stage_path():
     explicit = engine.infer_batch(audio, lengths=np.full((5,), 24000, np.int32))
     np.testing.assert_array_equal(np.asarray(full["detected"]), np.asarray(explicit["detected"]))
     np.testing.assert_array_equal(np.asarray(full["labels"]), np.asarray(explicit["labels"]))
+
+
+def test_threshold_sweep_one_dispatch_matches_loop():
+    """infer_sweep_batch (one fused dispatch, thresholds vmapped over the FSM)
+    must agree per-threshold with both the detect_from_scores loop and the
+    fused single-threshold infer_batch (VERDICT.md round-2 item #4)."""
+    import numpy as np
+
+    engine, _, _ = _res8_engine(clip_samples=24000)
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal((6, 24000)).astype(np.float32) * 0.1
+    lengths = np.array([24000, 9000, 24000, 1500, 20000, 12345], np.int32)
+    thresholds = [0.0, 0.05, 0.25, 0.3, 0.5, 0.75, 0.9, 1.0]
+
+    swept = engine.infer_sweep_batch(audio, lengths, thresholds)  # (K, B)
+    assert swept.shape == (len(thresholds), 6)
+
+    scores = engine.score_batch(audio, lengths=lengths)
+    cached_sweep = engine.detect_sweep_from_scores(scores, thresholds)
+    for k, t in enumerate(thresholds):
+        loop = np.asarray(engine.detect_from_scores(scores, threshold=t)["detected"])
+        np.testing.assert_array_equal(swept[k], loop, err_msg=f"threshold={t}")
+        np.testing.assert_array_equal(np.asarray(cached_sweep["detected"])[k], loop)
+        fused = np.asarray(engine.infer_batch(audio, lengths=lengths, threshold=t)["detected"])
+        np.testing.assert_array_equal(swept[k], fused, err_msg=f"threshold={t}")
