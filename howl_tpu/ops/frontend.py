@@ -158,8 +158,16 @@ class FrontendConfig:
         from howl_tpu.settings import SETTINGS
 
         s = SETTINGS.audio_transform
+        # use_meyda_spectrogram switches the transform to the browser
+        # (Meyda.js / honkling) convention: HTK mel with a FIXED f_max of
+        # 8 kHz instead of Nyquist (ref transform.py:241-247, meyda.py:15).
+        # At 16 kHz those coincide; the flag still pins the browser basis at
+        # any other rate. Device parity vs the host MeydaMelSpectrogram is
+        # asserted in tests/test_config_and_exports.py.
+        f_max = 8000.0 if s.use_meyda_spectrogram else None
         return cls(
-            sample_rate=s.sample_rate, n_fft=s.num_fft, hop_length=s.hop_length, n_mels=s.num_mels
+            sample_rate=s.sample_rate, n_fft=s.num_fft, hop_length=s.hop_length, n_mels=s.num_mels,
+            f_max=f_max,
         )
 
     @property

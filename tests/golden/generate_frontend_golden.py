@@ -14,6 +14,18 @@ both of which are reproduced here with plain torch + the documented HTK
 filterbank algebra (torchaudio/functional/functional.py melscale_fbanks).
 ComputeDeltas(win_length=5) is the replicate-padded regression filter.
 
+Provenance / residual risk: torchaudio itself is not installed, so these
+goldens pin (a) torch.stft — torchaudio's actual Spectrogram backend, exact —
+and (b) a RE-DERIVED melscale algebra. (b) is differentially pinned against
+the reference's own in-repo copy of the same construction,
+create_vtlp_fb_matrix(training=False) at ref transform.py:373-410 (the
+torchaudio MelScale filterbank algorithm the VTLP path uses), in
+tests/test_golden_fixtures.py::test_generator_melscale_matches_reference_algebra.
+What remains UNPINNED is only torchaudio's ComputeDeltas (replicate-padded
+regression filter per its documented formula) and any hypothetical divergence
+between create_vtlp_fb_matrix and a future torchaudio release; regenerate
+against real torchaudio offline if bit-provenance is ever required.
+
 Run from the repo root to (re)generate tests/golden/*.npy:
 
     python tests/golden/generate_frontend_golden.py

@@ -89,6 +89,39 @@ def test_meyda_spectrogram_matches_fft(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
 
 
+def test_use_meyda_spectrogram_flag_routes_frontend(monkeypatch, rng):
+    """USE_MEYDA_SPECTROGRAM switches the device frontend to the browser
+    (Meyda.js) mel convention — fixed f_max=8000 instead of Nyquist (ref
+    transform.py:241-247) — and the device output matches the host
+    MeydaMelSpectrogram at a rate where the two bases genuinely differ."""
+    from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+    from howl_tpu.ops.meyda import MeydaMelSpectrogram
+    from howl_tpu.settings import SETTINGS
+
+    assert FrontendConfig.from_settings().f_max is None  # flag off: Nyquist
+
+    monkeypatch.setenv("USE_MEYDA_SPECTROGRAM", "true")
+    monkeypatch.setenv("SAMPLE_RATE", "22050")
+    monkeypatch.setenv("NUM_MELS", "40")
+    SETTINGS.reset()
+    cfg = FrontendConfig.from_settings()
+    assert cfg.f_max == 8000.0 and cfg.sample_rate == 22050
+
+    audio = (rng.standard_normal((1, 11025)) * 0.1).astype(np.float32)
+    meyda = MeydaMelSpectrogram(
+        n_fft=cfg.n_fft, n_mels=cfg.n_mels, sample_rate=cfg.sample_rate, hop_length=cfg.hop_length
+    )
+    host = meyda(audio)
+    dev = np.exp(np.asarray(log_mel_spectrogram(audio, cfg)))
+    np.testing.assert_allclose(dev, host, rtol=1e-3, atol=1e-4)
+
+    # the meyda basis is NOT the Nyquist basis at this rate
+    nyq = np.exp(np.asarray(log_mel_spectrogram(audio, FrontendConfig(
+        n_fft=cfg.n_fft, n_mels=cfg.n_mels, sample_rate=cfg.sample_rate, hop_length=cfg.hop_length
+    ))))
+    assert not np.allclose(dev, nyq, rtol=1e-3, atol=1e-4)
+
+
 def test_export_honkling_res8(tmp_path):
     import flax
     import jax
