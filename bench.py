@@ -20,6 +20,14 @@ object also carries:
     is the OnlineEngine path that re-featurizes the whole window each step
   * ``legacy_realtime_factor`` — the round-1 per-window mega-batch path, for
     an apples-to-apples view of the fused-trunk speedup
+  * ``train_examples_per_sec`` / ``train_mfu`` — the fused train step
+    (on-device aug + VTLP frontend + res8 + CE + AdamW) at the documented
+    bf16 batch-1024 config (docs/PERFORMANCE.md), so training-path
+    regressions are visible round-over-round (VERDICT.md round-2 item #6)
+  * ``online_step_latency_ms`` — p50/p99 per-62.5 ms-step latency of the
+    incremental online path at ~1k/16k/64k concurrent streams (each sample =
+    one K-step on-device chain / K, one fetch per sample; VERDICT.md #7).
+    The 62.5 ms cadence is the serving SLA (ref howl_client.py:85-94).
 """
 
 from __future__ import annotations
@@ -46,6 +54,83 @@ def path_flops_per_clip(clip_samples: int, engine, num_labels: int, maps=45):
     trunk = pooled * (fe.n_mels // engine.model.pooling[1]) * maps * maps * 9 * 6
     head = engine.n_windows(clip_samples) * maps * num_labels
     return 2 * (frontend + conv0 + trunk + head)
+
+
+def train_flops_per_example(window_samples: int, frontend, maps=45, num_labels=4, pool=(3, 4)):
+    """Analytic train-step FLOPs per example: forward GEMM/conv work of the
+    VTLP frontend + res8 + head, times 3 for backward (standard 2x-forward
+    backprop estimate). Optimizer/elementwise traffic excluded — this is an
+    MXU utilization figure, consistent with path_flops_per_clip."""
+    frames = frontend.num_frames(window_samples)
+    fe = frames * (2 * frontend.n_fft * frontend.n_freqs + frontend.n_freqs * frontend.n_mels)
+    conv0 = frames * frontend.n_mels * maps * 9
+    trunk = (frames // pool[0]) * (frontend.n_mels // pool[1]) * maps * maps * 9 * 6
+    head = maps * num_labels
+    return 3 * 2 * (fe + conv0 + trunk + head)
+
+
+def bench_train_step(on_tpu: bool):
+    """One-config training benchmark (the documented bf16 batch-1024 recipe,
+    docs/PERFORMANCE.md): returns (examples_per_sec, train_mfu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from howl_tpu.models import create_model
+    from howl_tpu.ops.augment import AugmentConfig
+    from howl_tpu.ops.frontend import FrontendConfig
+    from howl_tpu.training.state import create_train_state
+    from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step
+
+    batch = 1024 if on_tpu else 8
+    iters = 16 if on_tpu else 2
+    window_samples = 8000
+    frontend = FrontendConfig(n_mels=40)
+    step_cfg = StepConfig(
+        frontend=frontend,
+        zmuv_mean=0.0,
+        zmuv_std=1.0,
+        augment=AugmentConfig(),
+        use_vtlp=True,
+        negative_label=3,
+        use_deltas=False,
+        dft_precision=jax.lax.Precision.HIGH if on_tpu else None,
+    )
+    model = create_model("res8", num_labels=4, **({"dtype": jnp.bfloat16} if on_tpu else {}))
+    feats0 = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), feats0, learning_rate=0.01, lr_decay=0.99, steps_per_epoch=100
+    )
+    train_step = make_classification_train_step(model, step_cfg)
+
+    rng = np.random.default_rng(0)
+    audio = jax.device_put((rng.standard_normal((batch, window_samples)) * 0.1).astype(np.float32))
+    labels = jax.device_put(rng.integers(0, 4, batch).astype(np.int32))
+    lengths = jax.device_put(np.full(batch, window_samples, np.int32))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(state, key, n):
+        def body(carry, _):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, audio, labels, lengths, sub)
+            return (state, key), metrics["loss"]
+
+        (state, key), losses = jax.lax.scan(body, (state, key), None, length=n)
+        return state, losses
+
+    state, losses = run(state, jax.random.PRNGKey(1), n=iters)  # compile
+    _ = float(np.asarray(losses[-1]))
+    t0 = time.perf_counter()
+    state, losses = run(state, jax.random.PRNGKey(1), n=iters)
+    _ = float(np.asarray(losses[-1]))
+    elapsed = time.perf_counter() - t0
+    examples_per_sec = batch * iters / elapsed
+    mfu = (
+        train_flops_per_example(window_samples, frontend) * batch * iters / elapsed / V5E_BF16_PEAK_FLOPS
+        if on_tpu
+        else 0.0
+    )
+    return examples_per_sec, mfu
 
 
 def main():
@@ -229,6 +314,56 @@ def main():
     inc_elapsed = time.perf_counter() - start
     streams_per_chip = n_streams * stream_steps / inc_elapsed / (1000.0 / 62.5)
 
+    # ---- serving latency percentiles: per-step latency of the incremental
+    # online path at production stream counts. Per-step host timing is
+    # impossible through the dev relay (fixed ~31 ms fetch, block_until_ready
+    # doesn't block), so each latency SAMPLE is one K-step on-device chain
+    # divided by K (steady-state step latency), with M samples for p50/p99.
+    latency_counts = (1024, 16384, 65536) if on_tpu else (8,)
+    lat_k = 32 if on_tpu else 2
+    lat_m = 12 if on_tpu else 2
+    lat_ring_hops = 4
+    online_step_latency_ms = {}
+    for n_s in latency_counts:
+        eng = IncrementalOnlineEngine(
+            model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
+            num_streams=n_s, compute_dtype=compute_dtype,
+        )
+        lat_buf = jax.device_put(
+            rng.standard_normal((n_s, lat_ring_hops * eng.hop_samples)).astype(np.float32) * 0.1
+        )
+
+        @jax.jit
+        def run_lat(variables, buf, tail, ring, state, carry, eng=eng):
+            def body(sc, k):
+                tail, ring, st, ca = sc
+                off = (k % lat_ring_hops) * eng.hop_samples
+                chunk = jax.lax.dynamic_slice(buf, (jnp.int32(0), off), (n_s, eng.hop_samples))
+                tail, ring, st, _, fired, ca = eng._step(
+                    variables, chunk, tail, ring, st, (k + 1).astype(jnp.float32) * eng.stride_ms, ca
+                )
+                return (tail, ring, st, ca), fired
+
+            ks = jnp.arange(lat_k, dtype=jnp.int32)
+            (tail, ring, st, ca), fireds = jax.lax.scan(body, (tail, ring, state, carry), ks)
+            return tail, ring, st, ca, fireds[-1]
+
+        chain = run_lat(eng.variables, lat_buf, eng.tail, eng.mel_ring, eng.state, eng.carry)
+        _ = np.asarray(chain[-1])  # compile + warmup
+        samples = []
+        for _rep in range(lat_m):
+            t0 = time.perf_counter()
+            chain = run_lat(eng.variables, lat_buf, *chain[:4])
+            _ = np.asarray(chain[-1])
+            samples.append((time.perf_counter() - t0) / lat_k * 1000.0)
+        online_step_latency_ms[str(n_s)] = {
+            "p50": round(float(np.percentile(samples, 50)), 3),
+            "p99": round(float(np.percentile(samples, 99)), 3),
+        }
+
+    # ---- training throughput + MFU at the documented bf16 batch-1024 config
+    train_examples_per_sec, train_mfu = bench_train_step(on_tpu)
+
     print(
         json.dumps(
             {
@@ -240,6 +375,9 @@ def main():
                 "legacy_realtime_factor": round(legacy_rt, 1),
                 "online_streams_per_chip": int(streams_per_chip),
                 "online_streams_full_window": int(full_window_streams),
+                "online_step_latency_ms": online_step_latency_ms,
+                "train_examples_per_sec": round(train_examples_per_sec, 1),
+                "train_mfu": round(train_mfu, 4),
             }
         )
     )
