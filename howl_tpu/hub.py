@@ -38,12 +38,17 @@ def load_workspace_engine(
     best: bool = True,
     num_streams: int = 1,
     incremental: bool = False,
+    streaming_trunk: bool = False,
 ) -> Tuple[OnlineEngine, InferenceContext]:
     """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84).
 
     ``incremental=True`` returns an IncrementalOnlineEngine instead: it keeps
     a mel-frame ring in device state and featurizes only each hop's new audio
-    (HowlClient supports both transparently)."""
+    (HowlClient supports both transparently). ``streaming_trunk=True``
+    (res8-family only) returns a FusedStreamingOnlineEngine: per-layer trunk
+    caches compute only each hop's new trunk frames — the cheapest per-step
+    path, scoring exactly like the offline fused-trunk engine, with a
+    ``schedule.lag``-hop (250 ms at defaults) decision delay."""
     workspace = Workspace(Path(workspace_path), delete_existing=False)
     settings = workspace.load_settings(SETTINGS)
 
@@ -87,7 +92,11 @@ def load_workspace_engine(
 
     cfg = EngineConfig.from_settings(ctx)
     engine_cls = OnlineEngine
-    if incremental:
+    if streaming_trunk:
+        from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+        engine_cls = FusedStreamingOnlineEngine
+    elif incremental:
         from howl_tpu.inference.online import IncrementalOnlineEngine
 
         engine_cls = IncrementalOnlineEngine

@@ -1,0 +1,310 @@
+"""Streaming-trunk online engine: per-layer conv caches for live serving.
+
+The per-window online engines (online.py) re-run the res8 trunk over the full
+41-frame window every 62.5 ms hop, even though a hop only adds ~1.7 pooled
+trunk frames — at 65k concurrent streams that recompute is the compute bound
+(docs/PERFORMANCE.md). This engine keeps a 4-frame ring per trunk stage
+(the streaming-conv cache) and computes ONLY each hop's newly-final frames of
+every layer: a ~3.3x FLOP cut per step.
+
+Semantics: EXACTLY the offline fused-trunk clip-level scoring
+(StreamingEngine with fused_trunk=True) applied to the growing stream —
+window k's logits pool pooled-trunk frames [round(k*sf/pool_t), +span) of a
+trunk computed over all audio seen so far, so interior windows see real
+context on BOTH sides (the documented fused-trunk deviation from the
+reference's isolated-window scoring, engine.py). The trunk's 3x3 convs look
+ahead one frame per layer, so window k's span is final only ``lag`` hops
+later (lag=4 at defaults = 250 ms added decision latency); the FSM still
+runs on window k's own timestamps, so smoothing/sequence semantics are
+untouched (ref howl/model/inference.py:91-161) — only the host observes the
+fire ``lag`` steps after the audio that caused it.
+
+The emission schedule (new-frames-per-hop, mel slab offset, span gap) cycles
+with period pool_t/gcd(stride_frames, pool_t); one step program is jitted per
+phase with the schedule constants static, so there is no traced control flow.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.detect import DetectState, apply_inference_weights, detect_step, init_state
+from howl_tpu.inference.online import _REBASE_AT, _REBASE_DELTA, _rebase_times
+from howl_tpu.models.base import ModelSpec, model_spec
+from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+
+
+class TrunkSchedule:
+    """Host-side emission schedule for the streaming trunk.
+
+    All quantities follow from (initial mel frames m0, stride_frames S,
+    pool_t P, span, layers): after hop j the stream has M_j = m0 + S*j FINAL
+    mel frames (m0 < window_frames: the last centered frames of the preroll
+    overlap samples that arrive with the first push, so prefill stops at the
+    last frame fully inside the preroll), the newest FINAL pooled stem frame
+    is p_j = (M_j - 1 - P) // P (conv0 needs one mel frame of right context;
+    a pooled frame needs its full P-group), and stage i's frontier is
+    p_j - i. Window k's span is final once
+    p_{k+lag} - layers >= r(k) + span - 1 with r(k) = round(k*S/P).
+    """
+
+    def __init__(self, m0: int, stride_frames: int, pool_t: int, span: int, layers: int = 6):
+        self.m0, self.S, self.P = m0, stride_frames, pool_t
+        self.span, self.layers = span, layers
+        self.period = pool_t // math.gcd(stride_frames, pool_t)
+        self.n_new = max(self._p(j) - self._p(j - 1) for j in range(1, self.period + 1))
+        self.slab_frames = self.n_new * pool_t + 2
+        # mel cache: large enough for the slab at every phase offset
+        tails = [self._slab_tail_off(j) for j in range(1, self.period + 1)]
+        assert min(tails) >= 0
+        self.mel_cache_len = self.slab_frames + max(tails)
+        # decision lag (hops): first j where every window's span is final
+        self.lag = next(
+            lag
+            for lag in range(0, 64)
+            if all(self._p(k + lag) - layers >= self._r(k) + span - 1 for k in range(4 * self.period))
+        )
+        gaps = [self._gap(j) for j in range(self.lag, self.lag + self.period)]
+        self.s6_ring_len = span + max(gaps)
+        # per-phase constants, phase = j % period
+        self.by_phase = {}
+        for j in range(self.lag + self.period, self.lag + 2 * self.period):
+            phase = j % self.period
+            entry = {
+                "delta": self._p(j) - self._p(j - 1),
+                "slab_start": self.mel_cache_len - self.slab_frames - self._slab_tail_off(j),
+                "gap": self._gap(j),
+            }
+            self.by_phase[phase] = entry
+        # the schedule must actually be periodic (guards odd geometries)
+        for j in range(self.lag, self.lag + 6 * self.period):
+            e = self.by_phase[j % self.period]
+            assert e["delta"] == self._p(j) - self._p(j - 1), f"aperiodic delta at hop {j}"
+            assert e["gap"] == self._gap(j), f"aperiodic gap at hop {j}"
+            assert e["slab_start"] == self.mel_cache_len - self.slab_frames - self._slab_tail_off(j)
+
+    def _m(self, j: int) -> int:
+        return self.m0 + self.S * j
+
+    def _p(self, j: int) -> int:
+        return (self._m(j) - 1 - self.P) // self.P
+
+    def _r(self, k: int) -> int:
+        return round(k * self.S / self.P)
+
+    def _slab_tail_off(self, j: int) -> int:
+        """Mel frames between the slab's newest frame and the stream's newest:
+        the slab covers mel frames [P*(p_j - n_new + 1) - 1, P*(p_j + 1)]."""
+        return (self._m(j) - 1) - self.P * (self._p(j) + 1)
+
+    def _gap(self, j: int) -> int:
+        k = j - self.lag
+        return (self._p(j) - self.layers) - (self._r(k) + self.span - 1)
+
+
+class FusedStreamingOnlineEngine:
+    """Live N-stream wakeword scorer with per-layer trunk caches (res8).
+
+    push() accepts each hop's new samples (like IncrementalOnlineEngine) and
+    returns the fire flag for the window ``schedule.lag`` hops back. Scoring
+    is bit-for-bit the offline fused-trunk path up to f32 summation order
+    (tests/test_streaming_trunk.py asserts per-window posterior agreement and
+    identical decisions against StreamingEngine.score_batch).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        cfg: EngineConfig,
+        frontend: FrontendConfig,
+        zmuv_mean: float = 0.0,
+        zmuv_std: float = 1.0,
+        spec: Optional[ModelSpec] = None,
+        num_streams: int = 1,
+        compute_dtype=None,
+    ):
+        import dataclasses
+
+        self.model = model
+        self.variables = variables
+        self.compute_dtype = compute_dtype
+        if compute_dtype is not None:
+            self.variables = jax.tree.map(
+                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+                variables,
+            )
+        self.cfg = cfg
+        self.frontend = frontend
+        self.zmuv_mean = float(zmuv_mean)
+        self.zmuv_std = float(zmuv_std)
+        self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
+        if not self.spec.supports_trunk:
+            raise ValueError("FusedStreamingOnlineEngine requires a trunk-capable model (res8)")
+        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
+        self.num_streams = num_streams
+
+        hop, n_fft, sr = frontend.hop_length, frontend.n_fft, cfg.sample_rate
+        self.window_frames = int(cfg.max_window_size_ms / 1000 * sr) // hop + 1
+        self.stride_frames = max(1, round(cfg.eval_stride_size_ms / 1000 * sr / hop))
+        self.stride_ms = self.stride_frames * hop / sr * 1000.0
+        self.hop_samples = self.stride_frames * hop
+        pool_t = getattr(model, "pooling", (3, 4))[0]
+        self.span = max(self.window_frames // pool_t, 1)
+        # prefill mel frontier: the last centered frame fully inside the
+        # preroll (later frames overlap samples that arrive with push #1 —
+        # frame i spans [i*hop - n_fft/2, i*hop + n_fft/2))
+        self.m0 = (self.window_frames * hop - n_fft // 2) // hop + 1
+        self.schedule = TrunkSchedule(self.m0, self.stride_frames, pool_t, self.span)
+        # prefill needs every stage ring to fit inside the preroll window:
+        # the deepest cache reaches back to stem frame p0 - 5 - (n_new + 1)
+        p0 = (self.m0 - 1 - pool_t) // pool_t
+        if p0 - 5 - (self.schedule.n_new + 1) < 0:
+            raise ValueError(
+                f"window too short for the streaming trunk: {self.m0} prefill mel frames "
+                f"give only {p0 + 1} pooled frames; need >= {7 + self.schedule.n_new}"
+            )
+        # same centered-grid audio tail as IncrementalOnlineEngine
+        base = n_fft - hop
+        self.tail_samples = base + ((n_fft // 2 - base) % hop)
+        self._frontend_nc = dataclasses.replace(frontend, center=False)
+
+        self._s_steps = max(int(cfg.smoothing_window_ms // max(self.stride_ms, 1e-6)) + 1, 1)
+        self._w_steps = max(int(cfg.inference_window_ms // max(self.stride_ms, 1e-6)) + 1, 1)
+        self._steps = {phase: self._build_step(phase) for phase in self.schedule.by_phase}
+        self._prefill = self._build_prefill()
+        self.reset()
+
+    # ---- state ----
+
+    def reset(self, preroll_audio: Optional[np.ndarray] = None):
+        """Reset stream state. The stream is defined to start with a
+        window-length preroll (silence by default) exactly like a zeroed ring
+        buffer; all trunk caches are prefilled from its clip-level trunk, so
+        frame values match the offline trunk of (preroll + pushed audio)."""
+        n = self.num_streams
+        if preroll_audio is None:
+            preroll = np.zeros((n, self.window_frames * self.frontend.hop_length), np.float32)
+        else:
+            preroll = np.asarray(preroll_audio, np.float32)
+            if preroll.ndim == 1:
+                preroll = np.tile(preroll[None], (n, 1))
+        want = self.window_frames * self.frontend.hop_length
+        if preroll.shape != (n, want):
+            raise ValueError(f"preroll must be {(n, want)}, got {preroll.shape}")
+        self.mel_cache, self.rings, self.s6_ring, self.tail = self._prefill(self.variables, jnp.asarray(preroll))
+        self.state = init_state(n, self.cfg.num_labels, self._s_steps, self._w_steps)
+        self.carry = None
+        self._j = 0  # hops pushed so far
+        self.curr_time = 0.0  # window-k clock (k = j - lag)
+
+    def _featurize_clip(self, audio: jnp.ndarray) -> jnp.ndarray:
+        mels = log_mel_spectrogram(audio, self.frontend, precision=self._dft_precision)
+        return (mels - self.zmuv_mean) / self.zmuv_std  # (B, F, T)
+
+    def _build_prefill(self):
+        sched = self.schedule
+        model = self.model
+        layers = sched.layers
+        dtype = self.compute_dtype
+
+        @jax.jit
+        def prefill(variables, preroll):
+            feats_ft = self._featurize_clip(preroll)[:, :, : sched.m0]  # final frames only
+            feats = feats_ft[:, None]  # (B, 1, F, m0)
+            if dtype is not None:
+                feats = feats.astype(dtype)
+            outs = model.apply(variables, feats, method="trunk_intermediates")
+            p0 = (sched.m0 - 1 - sched.P) // sched.P
+            rings = {}
+            for name, frontier in [("s0", p0)] + [(f"s{i}", p0 - i) for i in range(1, 6)] + [
+                ("r2", p0 - 2),
+                ("r4", p0 - 4),
+            ]:
+                lo = frontier - (sched.n_new + 2) + 1
+                rings[name] = outs[name][:, lo : frontier + 1]
+            s6_means = outs["s6"].astype(jnp.float32).mean(axis=2)  # (B, T6, maps)
+            newest = p0 - layers
+            have = newest + 1
+            take = min(have, sched.s6_ring_len)
+            s6_ring = jnp.zeros((preroll.shape[0], sched.s6_ring_len, s6_means.shape[-1]), jnp.float32)
+            s6_ring = s6_ring.at[:, -take:].set(s6_means[:, newest + 1 - take : newest + 1])
+            # mel cache: newest mel_cache_len ZMUV'd frames, time-major
+            mel_cache = feats_ft[:, :, -sched.mel_cache_len :].swapaxes(1, 2)  # (B, Tc, F)
+            tail = preroll[:, -self.tail_samples :]
+            return mel_cache, rings, s6_ring, tail
+
+        return prefill
+
+    def _build_step(self, phase: int):
+        from howl_tpu.ops.frontend import log_mel_spectrogram as _logmel
+
+        sched = self.schedule
+        e = sched.by_phase[phase]
+        delta, slab_start, gap = e["delta"], e["slab_start"], e["gap"]
+        model, cfg, spec = self.model, self.cfg, self.spec
+        stride_frames, stride_ms = self.stride_frames, self.stride_ms
+        zmuv_mean, zmuv_std = self.zmuv_mean, self.zmuv_std
+        frontend_nc, dft_prec, dtype = self._frontend_nc, self._dft_precision, self.compute_dtype
+        span, ring_len, tail_len = self.span, sched.s6_ring_len, self.tail_samples
+
+        @jax.jit
+        def step(variables, new_audio, tail, mel_cache, rings, s6_ring, state: DetectState, t_now, valid):
+            buf = jnp.concatenate([tail, new_audio], axis=-1)
+            mels = _logmel(buf, frontend_nc, precision=dft_prec)  # (B, F, stride_frames)
+            mels = ((mels - zmuv_mean) / zmuv_std).swapaxes(1, 2)  # (B, stride_frames, F)
+            mel_cache = jnp.concatenate([mel_cache[:, stride_frames:], mels], axis=1)
+            slab = mel_cache[:, slab_start : slab_start + sched.slab_frames][..., None]
+            if dtype is not None:
+                slab = slab.astype(dtype)
+            rings, s6_new = model.apply(variables, slab, rings, delta, method="trunk_stream_step")
+            s6_ring = jnp.concatenate(
+                [s6_ring[:, delta:], s6_new[:, sched.n_new - delta :]], axis=1
+            )
+            hi = ring_len - gap
+            wmean = s6_ring[:, hi - span : hi].mean(axis=1)  # (B, maps) f32
+            logits = model.apply(variables, wmean, method="head")
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            probs = apply_inference_weights(probs, cfg)
+            new_state, label, fired_now = detect_step(
+                state, probs, t_now, valid, cfg, check_offset_ms=stride_ms
+            )
+            return buf[..., -tail_len:], mel_cache, rings, s6_ring, new_state, label, fired_now, probs
+
+        return step
+
+    # ---- public API ----
+
+    def push(self, new_audio: np.ndarray) -> bool:
+        """Feed each stream's newest hop_samples; True if the wakeword fired
+        for the window ``schedule.lag`` hops back (the newest final window)."""
+        audio = np.asarray(new_audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        if audio.shape != (self.num_streams, self.hop_samples):
+            raise ValueError(f"push expects {(self.num_streams, self.hop_samples)}, got {audio.shape}")
+        self._j += 1
+        k = self._j - self.schedule.lag  # the window this step decides
+        emitting = k >= 0
+        if emitting and self.curr_time >= _REBASE_AT:
+            self.state = _rebase_times(self.state, _REBASE_DELTA)
+            self.curr_time -= _REBASE_DELTA
+        phase = self._j % self.schedule.period
+        valid = jnp.full((self.num_streams,), emitting)
+        (
+            self.tail, self.mel_cache, self.rings, self.s6_ring,
+            self.state, self.last_labels, fired_now, self.last_probs,
+        ) = self._steps[phase](
+            self.variables, audio, self.tail, self.mel_cache, self.rings, self.s6_ring,
+            self.state, jnp.float32(self.curr_time), valid,
+        )
+        self.last_fired = fired_now
+        if emitting:
+            self.curr_time += self.stride_ms
+        return bool(np.asarray(fired_now).any())

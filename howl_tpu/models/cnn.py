@@ -81,6 +81,92 @@ class Res8(HowlModel):
         """Mean trunk features (..., maps) -> logits; f32 for stable softmax/CE."""
         return self.output(pooled.astype(jnp.float32))
 
+    # ---- streaming-trunk support (FusedStreamingOnlineEngine) ----
+    #
+    # The trunk is a causal-with-lookahead stack of 3x3 SAME convs: each
+    # layer's output frame t needs the previous layer's frames t-1..t+1, so a
+    # live stream can compute ONLY the newly-final frames of every layer each
+    # hop by caching a 4-frame ring per stage — the streaming-conv cache —
+    # instead of re-convolving the whole 41-frame window per step (the ~3.3x
+    # FLOP redundancy the per-window online engines still pay). Residuals add
+    # the PRE-BatchNorm sums (old_x in trunk_features), so those sums (r2, r4)
+    # are cached alongside the post-BN stage outputs (s0..s5).
+
+    def trunk_intermediates(self, x: jnp.ndarray) -> dict:
+        """Full-clip trunk forward that also returns every cached stage:
+        s0 (pooled stem), s1..s6 (post-BN outputs), r2/r4 (pre-BN residual
+        sums). Used to prefill the streaming-trunk rings so stream startup
+        matches the offline clip's left-edge SAME padding exactly."""
+        x = self._mels_only_nhwc(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = nn.relu(self.conv0(x))
+        y = nn.avg_pool(y, self.pooling, strides=self.pooling)
+        outs = {"s0": y}
+        x = old_x = y
+        for i in range(1, 7):
+            y = nn.relu(getattr(self, f"conv{i}")(x))
+            if i % 2 == 0:
+                x = y + old_x
+                old_x = x
+                if i < 6:
+                    outs[f"r{i}"] = x
+            else:
+                x = y
+            x = getattr(self, f"bn{i}")(x, use_running_average=True)
+            outs[f"s{i}"] = x
+        return outs
+
+    @staticmethod
+    def _ingest(ring: jnp.ndarray, new: jnp.ndarray, delta: int) -> jnp.ndarray:
+        """Shift ``delta`` new frames into a newest-last time ring (axis 1).
+        When delta < new frame count, the leading new frames are recomputes of
+        frames already in the ring (bit-identical) and are dropped."""
+        n_new = new.shape[1]
+        if delta == n_new:
+            return jnp.concatenate([ring[:, n_new:], new], axis=1)
+        return jnp.concatenate([ring[:, delta:], new[:, n_new - delta :]], axis=1)
+
+    def trunk_stream_step(self, mel_slab: jnp.ndarray, rings: dict, delta: int):
+        """One streaming-trunk step: compute the n_new newest pooled-trunk
+        frames from per-stage 4-frame caches.
+
+        mel_slab: (B, n_new*pool_t + 2, F, 1) ZMUV'd mel frames covering the
+        conv0 support of the new pooled frames. rings: dict of
+        (B, n_new+2, F', maps) newest-last stage rings (s0..s5, r2, r4).
+        delta: how many of the computed frames are genuinely new this step
+        (static; the rest are bit-identical recomputes at phase boundaries).
+
+        Returns (updated rings, s6 freq-mean (B, n_new, maps) f32). SAME convs
+        run over the slab and the interior frames are sliced out — identical
+        values to the full-clip trunk (tests/test_streaming_trunk.py).
+        """
+        pool_t = self.pooling[0]
+        n_new = (mel_slab.shape[1] - 2) // pool_t
+        if self.dtype is not None:
+            mel_slab = mel_slab.astype(self.dtype)
+        y = nn.relu(self.conv0(mel_slab))[:, 1 : 1 + n_new * pool_t]
+        y = nn.avg_pool(y, self.pooling, strides=self.pooling)  # (B, n_new, F', maps)
+        rings = dict(rings)
+        rings["s0"] = self._ingest(rings["s0"], y, delta)
+        s6_mean = None
+        for i in range(1, 7):
+            slab = rings[f"s{i-1}"][:, -(n_new + 2) :]
+            y = nn.relu(getattr(self, f"conv{i}")(slab))[:, 1 : 1 + n_new]
+            if i % 2 == 0:
+                res_src = "s0" if i == 2 else f"r{i-2}"
+                x = y + rings[res_src][:, -(n_new + 2) : -2]
+                if i < 6:
+                    rings[f"r{i}"] = self._ingest(rings[f"r{i}"], x, delta)
+            else:
+                x = y
+            s = getattr(self, f"bn{i}")(x, use_running_average=True)
+            if i < 6:
+                rings[f"s{i}"] = self._ingest(rings[f"s{i}"], s, delta)
+            else:
+                s6_mean = s.astype(jnp.float32).mean(axis=2)
+        return rings, s6_mean
+
     def windowed_logits(self, x: jnp.ndarray, span_lo: int, span_hi: int, train: bool = False):
         """Logits for the window covering trunk frames [span_lo, span_hi) of a
         context segment — the trunk-mode TRAINING forward, so train matches

@@ -1,0 +1,144 @@
+"""FusedStreamingOnlineEngine: the per-layer streaming-conv cache must
+reproduce the offline fused-trunk clip-level scoring EXACTLY (up to f32
+summation order) while computing only each hop's new trunk frames.
+
+Strategy: push a clip hop by hop; the engine's decision at hop j covers
+window k = j - lag of the clip (preroll + pushed audio). Compare per-window
+posteriors, labels, and fire decisions against StreamingEngine
+(fused_trunk=True) scoring the very same clip in one batch call.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+
+def _build(cfg_overrides=None, n_mels=40, compute_dtype=None, num_streams=2):
+    from howl_tpu.inference import EngineConfig, StreamingEngine
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+    from howl_tpu.models import create_model
+    from howl_tpu.models.base import model_spec
+    from howl_tpu.ops.frontend import FrontendConfig
+    from howl_tpu.training.step import StepConfig, featurize
+
+    cfg = EngineConfig(
+        inference_sequence=(0, 1, 2),
+        max_window_size_ms=500.0,
+        eval_stride_size_ms=62.5,
+        smoothing_window_ms=50.0,
+        inference_window_ms=2000.0,
+        tolerance_window_ms=500.0,
+        inference_threshold=0.0,
+        negative_label=3,
+        num_labels=4,
+    )
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
+    frontend = FrontendConfig(n_mels=n_mels)
+    model = create_model("res8", num_labels=cfg.num_labels)
+    feats0 = featurize(
+        np.zeros((1, 8000), np.float32),
+        StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
+    offline = StreamingEngine(
+        model, variables, cfg, frontend, spec=model_spec("res8"),
+        fused_trunk=True, compute_dtype=compute_dtype,
+    )
+    streaming = FusedStreamingOnlineEngine(
+        model, variables, cfg, frontend, spec=model_spec("res8"),
+        num_streams=num_streams, compute_dtype=compute_dtype,
+    )
+    return cfg, frontend, offline, streaming
+
+
+def _run_both(offline, streaming, rng, n_hops=24, amp=0.3):
+    """Returns (offline probs/labels/fired for the clip, streaming per-window
+    probs/labels/fired collected from push)."""
+    n = streaming.num_streams
+    hop = streaming.hop_samples
+    preroll = np.zeros((n, streaming.window_frames * streaming.frontend.hop_length), np.float32)
+    hops = (rng.standard_normal((n_hops, n, hop)) * amp).astype(np.float32)
+
+    clip = np.concatenate([preroll] + [hops[j] for j in range(n_hops)], axis=1)
+    out = offline.infer_batch(clip)
+    off_probs = np.asarray(out["probs"])  # (n, n_win, L)
+    off_labels = np.asarray(out["labels"])
+    off_fired = np.asarray(out["fired"])
+
+    lag = streaming.schedule.lag
+    st_probs, st_labels, st_fired = {}, {}, {}
+    for j in range(1, n_hops + 1):
+        streaming.push(hops[j - 1])
+        k = j - lag
+        if k >= 0:
+            st_probs[k] = np.asarray(streaming.last_probs)
+            st_labels[k] = np.asarray(streaming.last_labels)
+            st_fired[k] = np.asarray(streaming.last_fired)
+    return (off_probs, off_labels, off_fired), (st_probs, st_labels, st_fired)
+
+
+def _compare(off, st, n_compare, atol=1e-5):
+    off_probs, off_labels, off_fired = off
+    st_probs, st_labels, st_fired = st
+    for k in range(n_compare):
+        assert k in st_probs, f"window {k} never emitted"
+        np.testing.assert_allclose(
+            st_probs[k], off_probs[:, k], rtol=1e-5, atol=atol, err_msg=f"window {k} posteriors"
+        )
+        np.testing.assert_array_equal(st_labels[k], off_labels[:, k], err_msg=f"window {k} labels")
+        np.testing.assert_array_equal(st_fired[k], off_fired[:, k], err_msg=f"window {k} fire")
+
+
+def test_streaming_trunk_matches_offline_fused(rng):
+    cfg, frontend, offline, streaming = _build()
+    assert streaming.schedule.lag == 4  # 250 ms decision lag at defaults
+    n_hops = 24
+    off, st = _run_both(offline, streaming, rng, n_hops=n_hops)
+    # offline's final windows clamp their spans at the clip edge; exclude them
+    _compare(off, st, n_compare=n_hops - streaming.schedule.lag - 2)
+
+
+def test_streaming_trunk_detects_like_offline(rng):
+    """A stream engineered to fire: per-window fire decisions line up (the
+    host just OBSERVES them lag hops later)."""
+    from howl_tpu.inference.detect import smooth_and_detect  # noqa: F401 (sanity import)
+
+    cfg, frontend, offline, streaming = _build(
+        cfg_overrides={"inference_sequence": (0,), "inference_threshold": 0.0}
+    )
+    off, st = _run_both(offline, streaming, rng, n_hops=20, amp=0.5)
+    # with a length-1 sequence and threshold 0 at random init, some window fires
+    assert np.asarray(off[2]).any()
+    _compare(off, st, n_compare=20 - streaming.schedule.lag - 2)
+
+
+@pytest.mark.slow
+def test_streaming_trunk_other_geometry(rng):
+    """125 ms stride / 750 ms window: different period, n_new, lag."""
+    cfg, frontend, offline, streaming = _build(
+        cfg_overrides={"max_window_size_ms": 750.0, "eval_stride_size_ms": 125.0}
+    )
+    sched = streaming.schedule
+    assert sched.n_new >= 2 and sched.period >= 1
+    n_hops = 18
+    off, st = _run_both(offline, streaming, rng, n_hops=n_hops)
+    _compare(off, st, n_compare=n_hops - sched.lag - 2)
+
+
+@pytest.mark.slow
+def test_streaming_trunk_bf16(rng):
+    """bf16 trunk compute: same values as the offline bf16 fused engine."""
+    import jax.numpy as jnp
+
+    cfg, frontend, offline, streaming = _build(compute_dtype=jnp.bfloat16)
+    n_hops = 16
+    off, st = _run_both(offline, streaming, rng, n_hops=n_hops)
+    _compare(off, st, n_compare=n_hops - streaming.schedule.lag - 2, atol=1e-4)
+
+
+def test_streaming_trunk_rejects_short_window():
+    with pytest.raises(ValueError):
+        _build(cfg_overrides={"max_window_size_ms": 250.0})
