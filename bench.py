@@ -28,6 +28,10 @@ object also carries:
     incremental online path at ~1k/16k/64k concurrent streams (each sample =
     one K-step on-device chain / K, one fetch per sample; VERDICT.md #7).
     The 62.5 ms cadence is the serving SLA (ref howl_client.py:85-94).
+  * ``online_streams_per_chip_trunk`` / ``online_step_latency_ms_trunk`` —
+    the streaming-trunk engine (per-layer conv caches compute only each
+    hop's newly-final trunk frames, inference/streaming_trunk.py): the
+    highest-capacity serving path, measured at 16k/64k streams.
 """
 
 from __future__ import annotations
@@ -361,6 +365,77 @@ def main():
             "p99": round(float(np.percentile(samples, 99)), 3),
         }
 
+    # ---- streaming-trunk serving: per-layer conv caches compute only each
+    # hop's newly-final trunk frames (inference/streaming_trunk.py) — the
+    # capacity path. The step program is per-phase static, so the scan body
+    # unrolls one schedule period (period=3 at the 62.5 ms/500 ms defaults).
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+    trunk_counts = (16384, 65536) if on_tpu else (8,)
+    trunk_k = 11 if on_tpu else 2  # super-steps per sample (steps = k * period)
+    trunk_m = 8 if on_tpu else 2
+    online_step_latency_ms_trunk = {}
+    trunk_streams = 0.0
+    for n_s in trunk_counts:
+        teng = FusedStreamingOnlineEngine(
+            model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
+            num_streams=n_s, compute_dtype=compute_dtype,
+        )
+        period = teng.schedule.period
+        t_ring_hops = 4 * period
+        tbuf = jax.device_put(
+            (rng.standard_normal((n_s, t_ring_hops * teng.hop_samples)) * 0.1).astype(np.float32)
+        )
+        # un-jitted per-phase bodies compose inside the outer jit; push j
+        # (1-based) runs phase j % period
+        phase_fns = {p: teng._build_step(p).__wrapped__ for p in teng._steps}
+
+        @jax.jit
+        def run_trunk(variables, buf, tail, mel_cache, rings, s6_ring, state,
+                      teng=teng, n_s=n_s, period=period, t_ring_hops=t_ring_hops,
+                      phase_fns=phase_fns):
+            valid = jnp.full((n_s,), True)
+
+            def body(carry, m):
+                tail, mel_cache, rings, s6_ring, state = carry
+                fired = None
+                for i in range(period):
+                    j = m * period + 1 + i
+                    off = (j % t_ring_hops) * teng.hop_samples
+                    chunk = jax.lax.dynamic_slice(
+                        buf, (jnp.int32(0), off), (n_s, teng.hop_samples)
+                    )
+                    tail, mel_cache, rings, s6_ring, state, _, fired, _ = phase_fns[
+                        (1 + i) % period
+                    ](
+                        variables, chunk, tail, mel_cache, rings, s6_ring, state,
+                        j.astype(jnp.float32) * teng.stride_ms, valid,
+                    )
+                return (tail, mel_cache, rings, s6_ring, state), fired
+
+            carry, fireds = jax.lax.scan(
+                body, (tail, mel_cache, rings, s6_ring, state),
+                jnp.arange(trunk_k, dtype=jnp.int32),
+            )
+            return carry, fireds[-1]
+
+        chain = (teng.tail, teng.mel_cache, teng.rings, teng.s6_ring, teng.state)
+        chain, fired = run_trunk(teng.variables, tbuf, *chain)
+        _ = np.asarray(fired)  # compile + warmup
+        n_steps = trunk_k * period
+        samples = []
+        for _rep in range(trunk_m):
+            t0 = time.perf_counter()
+            chain, fired = run_trunk(teng.variables, tbuf, *chain)
+            _ = np.asarray(fired)
+            samples.append((time.perf_counter() - t0) / n_steps * 1000.0)
+        online_step_latency_ms_trunk[str(n_s)] = {
+            "p50": round(float(np.percentile(samples, 50)), 3),
+            "p99": round(float(np.percentile(samples, 99)), 3),
+        }
+        med_s = float(np.percentile(samples, 50)) / 1000.0  # s per n_s-stream step
+        trunk_streams = max(trunk_streams, n_s / (med_s * (1000.0 / 62.5)))
+
     # ---- training throughput + MFU at the documented bf16 batch-1024 config
     train_examples_per_sec, train_mfu = bench_train_step(on_tpu)
 
@@ -376,6 +451,8 @@ def main():
                 "online_streams_per_chip": int(streams_per_chip),
                 "online_streams_full_window": int(full_window_streams),
                 "online_step_latency_ms": online_step_latency_ms,
+                "online_streams_per_chip_trunk": int(trunk_streams),
+                "online_step_latency_ms_trunk": online_step_latency_ms_trunk,
                 "train_examples_per_sec": round(train_examples_per_sec, 1),
                 "train_mfu": round(train_mfu, 4),
             }

@@ -125,11 +125,19 @@ class HowlClient:
 
     @classmethod
     def from_workspace(
-        cls, workspace_path, model_name: str = None, source=None, incremental: bool = False, **kwargs
+        cls,
+        workspace_path,
+        model_name: str = None,
+        source=None,
+        incremental: bool = False,
+        streaming_trunk: bool = False,
+        **kwargs,
     ) -> "HowlClient":
         from howl_tpu.hub import load_workspace_engine
 
-        engine, ctx = load_workspace_engine(workspace_path, model_name, incremental=incremental)
+        engine, ctx = load_workspace_engine(
+            workspace_path, model_name, incremental=incremental, streaming_trunk=streaming_trunk
+        )
         return cls(engine=engine, context=ctx, source=source, **kwargs)
 
     def from_pretrained(self, name: str, models_path=None):
@@ -156,9 +164,11 @@ class HowlClient:
         self._ring.push_int16(chunk)
         self._chunks_total += 1
         self._chunks_since_infer += 1
-        incremental = hasattr(self.engine, "push")  # IncrementalOnlineEngine
+        # Incremental/FusedStreaming engines own their feature state and take
+        # only the new hop's samples
+        incremental = hasattr(self.engine, "push")
         if incremental:
-            # the engine keeps its own mel-frame ring; hand it only the new
+            # the engine keeps its own feature ring; hand it only the new
             # hop's samples, from the first hop on (its ring starts as silence)
             hop = self.engine.hop_samples
             if hop % self.chunk_size:

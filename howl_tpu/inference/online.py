@@ -36,6 +36,32 @@ def _rebase_times(state: DetectState, delta: float) -> DetectState:
     return state._replace(pred_times=state.pred_times - d, label_times=state.label_times - d)
 
 
+def _shard_engine_streams(engine, mesh, state_attrs):
+    """Shared shard_streams body: replicate the parameters and split every
+    per-stream state array (stream axis 0) over the mesh's ``data`` axis.
+
+    The whole online step is per-stream — frontend rows, model batch rows,
+    softmax, and the detect FSM never mix streams — so GSPMD partitions the
+    jitted step with ZERO collectives: N chips serve N x the streams at the
+    single-chip step latency. Subsequent steps keep the sharding (jit
+    propagates it from the operands); no code changes elsewhere.
+    """
+    from howl_tpu.parallel.mesh import replicate, shard_batch
+
+    n_dev = mesh.shape["data"]
+    if engine.num_streams % n_dev:
+        raise ValueError(
+            f"num_streams={engine.num_streams} must be divisible by the mesh "
+            f"data axis size ({n_dev}) for even per-chip stream shards"
+        )
+    engine.variables = replicate(engine.variables, mesh)
+    for attr in state_attrs:
+        val = getattr(engine, attr)
+        if val is not None:
+            setattr(engine, attr, shard_batch(val, mesh))
+    return engine
+
+
 def _score_and_detect(model, spec, cfg, variables, feats, state, t_now, carry, check_offset_ms):
     """Shared step tail: model -> softmax -> inference weights -> detect_step.
 
@@ -105,6 +131,11 @@ class OnlineEngine:
         self.state = init_state(self.num_streams, self.cfg.num_labels, self._s_steps, self._w_steps)
         self.carry = None
         self.curr_time = 0.0
+
+    def shard_streams(self, mesh):
+        """Serve the streams SPMD over the mesh's ``data`` axis (see
+        _shard_engine_streams). ingest() then feeds all chips in one call."""
+        return _shard_engine_streams(self, mesh, ("state", "carry"))
 
     def _build_step(self):
         model, cfg, frontend, spec = self.model, self.cfg, self.frontend, self.spec
@@ -250,6 +281,11 @@ class IncrementalOnlineEngine:
         self.carry = None
         self.curr_time = 0.0
         self.last_labels = None
+
+    def shard_streams(self, mesh):
+        """Serve the streams SPMD over the mesh's ``data`` axis (see
+        _shard_engine_streams). push() then feeds all chips in one call."""
+        return _shard_engine_streams(self, mesh, ("state", "carry", "tail", "mel_ring"))
 
     def _build_step(self):
         from howl_tpu.ops.frontend import log_mel_spectrogram as _logmel

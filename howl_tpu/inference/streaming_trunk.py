@@ -204,6 +204,16 @@ class FusedStreamingOnlineEngine:
         self._j = 0  # hops pushed so far
         self.curr_time = 0.0  # window-k clock (k = j - lag)
 
+    def shard_streams(self, mesh):
+        """Serve the streams SPMD over the mesh's ``data`` axis: params
+        replicated, every per-stream cache split on stream axis 0 (zero
+        collectives — the step is per-stream; see online._shard_engine_streams)."""
+        from howl_tpu.inference.online import _shard_engine_streams
+
+        return _shard_engine_streams(
+            self, mesh, ("state", "tail", "mel_cache", "rings", "s6_ring")
+        )
+
     def _featurize_clip(self, audio: jnp.ndarray) -> jnp.ndarray:
         mels = log_mel_spectrogram(audio, self.frontend, precision=self._dft_precision)
         return (mels - self.zmuv_mean) / self.zmuv_std  # (B, F, T)
