@@ -371,6 +371,8 @@ def main():
     # unrolls one schedule period (period=3 at the 62.5 ms/500 ms defaults).
     from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
 
+    del eng, lat_buf, chain  # free the last latency engine's HBM before the trunk runs
+
     trunk_counts = (16384, 65536) if on_tpu else (8,)
     trunk_k = 11 if on_tpu else 2  # super-steps per sample (steps = k * period)
     trunk_m = 8 if on_tpu else 2
@@ -382,7 +384,11 @@ def main():
             num_streams=n_s, compute_dtype=compute_dtype,
         )
         period = teng.schedule.period
-        t_ring_hops = 4 * period
+        # period+1 so j % t_ring_hops still varies across scan iterations
+        # (a period-multiple would make every chunk slice loop-invariant and
+        # let XLA hoist the frontend out of the chain), while keeping the
+        # audio buffer ~1 GB at 65k streams
+        t_ring_hops = period + 1
         tbuf = jax.device_put(
             (rng.standard_normal((n_s, t_ring_hops * teng.hop_samples)) * 0.1).astype(np.float32)
         )

@@ -20,11 +20,19 @@ def run(args=None):
         opt("--model", type=str, choices=sorted(MODEL_REGISTRY), default=None),
         opt("--workspace", type=str, default=str(Path("workspaces") / "default")),
         opt("--wav", type=str, nargs="+", default=None, help="replay WAV files instead of the microphone"),
+        opt("--incremental", action="store_true",
+            help="serve with the incremental engine (featurize only each hop's new audio)"),
+        opt("--streaming-trunk", action="store_true",
+            help="serve with the streaming-trunk engine (res8: per-layer conv caches, "
+                 "cheapest per-step path, +250 ms decision lag)"),
     )
     args = apb.parser.parse_args(args)
 
     source = FileAudioSource(args.wav) if args.wav else None
-    client = HowlClient.from_workspace(args.workspace, args.model, source=source)
+    client = HowlClient.from_workspace(
+        args.workspace, args.model, source=source,
+        incremental=args.incremental, streaming_trunk=args.streaming_trunk,
+    )
     client.add_listener(lambda words: print(f"wakeword detected: {words}"))
     client.start().join()
     return client

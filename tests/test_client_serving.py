@@ -150,3 +150,34 @@ def test_client_with_incremental_engine(trained_workspace, monkeypatch):
     client2 = HowlClient.from_workspace(ws, "res8", source=FileAudioSource(neg_wavs), incremental=True)
     client2.start().join()
     assert client2.detections == 0
+
+
+@pytest.mark.slow
+def test_client_with_streaming_trunk_engine(trained_workspace, monkeypatch):
+    """HowlClient over the FusedStreamingOnlineEngine (per-layer trunk caches,
+    ~3.3x step-FLOP cut) detects positives and rejects negatives; the fixed
+    4-hop decision lag lands well inside each 2 s clip's trailing audio."""
+    ws, corpus, env = trained_workspace
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.client.howl_client import FileAudioSource, HowlClient
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+    pos_wavs = sorted((corpus / "audio").glob("pos_*.wav"))[:3]
+    neg_wavs = sorted((corpus / "audio").glob("neg_*.wav"))[:3]
+
+    client = HowlClient.from_workspace(
+        ws, "res8", source=FileAudioSource(pos_wavs), streaming_trunk=True
+    )
+    assert isinstance(client.engine, FusedStreamingOnlineEngine)
+    client.start().join()
+    assert client.detections >= 2, f"expected detections on positive clips, got {client.detections}"
+
+    client2 = HowlClient.from_workspace(
+        ws, "res8", source=FileAudioSource(neg_wavs), streaming_trunk=True
+    )
+    client2.start().join()
+    assert client2.detections == 0

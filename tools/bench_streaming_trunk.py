@@ -59,7 +59,9 @@ def main():
     )
     period = eng.schedule.period
     super_steps = max(steps // period, 1)
-    ring_hops = 4 * period
+    # period+1: non-loop-invariant chunk slices (hoist-proof) at ~1/3 the
+    # audio-buffer HBM of a 4*period ring — 65k streams OOM'd otherwise
+    ring_hops = period + 1
     buf = jax.device_put(
         (rng.standard_normal((n_streams, ring_hops * eng.hop_samples)) * 0.1).astype(np.float32)
     )
@@ -108,6 +110,7 @@ def main():
           f"-> {trunk_streams:,.0f} streams/chip @62.5ms")
 
     # ---- incremental baseline (same harness as bench.py) ----
+    del out, carry, eng, run_trunk, phase_fns  # free trunk HBM first
     inc = IncrementalOnlineEngine(
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
         num_streams=n_streams, compute_dtype=compute_dtype,
