@@ -57,7 +57,14 @@ class TrunkSchedule:
     def __init__(self, m0: int, stride_frames: int, pool_t: int, span: int, layers: int = 6):
         self.m0, self.S, self.P = m0, stride_frames, pool_t
         self.span, self.layers = span, layers
-        self.period = pool_t // math.gcd(stride_frames, pool_t)
+        # base period of the mel/pooled-frame phase. r(k) = round(k*S/P) uses
+        # round-half-to-even (matching the offline engine's np.round window
+        # starts, engine.py:165): when t0 is even, half-integer k*S/P values
+        # occur and the frontier advance per t0 hops (S*t0/P, coprime to t0)
+        # is odd, so the tie-break parity alternates period to period — the
+        # true gap cycle is 2*t0. Odd t0 has no half-integer ties.
+        t0 = pool_t // math.gcd(stride_frames, pool_t)
+        self.period = 2 * t0 if t0 % 2 == 0 else t0
         self.n_new = max(self._p(j) - self._p(j - 1) for j in range(1, self.period + 1))
         self.slab_frames = self.n_new * pool_t + 2
         # mel cache: large enough for the slab at every phase offset

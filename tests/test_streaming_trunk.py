@@ -142,3 +142,31 @@ def test_streaming_trunk_bf16(rng):
 def test_streaming_trunk_rejects_short_window():
     with pytest.raises(ValueError):
         _build(cfg_overrides={"max_window_size_ms": 250.0})
+
+
+def test_trunk_schedule_fuzz():
+    """TrunkSchedule invariants over a grid of geometries: the per-phase
+    deltas advance the pooled frontier by exactly stride*period/pool per
+    period, gaps stay inside the s6 ring, and the slab always fits the mel
+    cache (the constructor also self-checks periodicity over 6 periods)."""
+    from howl_tpu.inference.streaming_trunk import TrunkSchedule
+
+    built = 0
+    for pool_t in (2, 3, 4):
+        for stride in (2, 3, 4, 5, 6, 8, 10):
+            for span in (8, 13, 21):
+                m0 = 40 + pool_t * (span + 10)  # enough prefill for the span
+                try:
+                    s = TrunkSchedule(m0, stride, pool_t, span)
+                except StopIteration:
+                    continue  # no lag <= 64 exists for this geometry
+                built += 1
+                period_advance = sum(s.by_phase[p]["delta"] for p in range(s.period))
+                assert period_advance == stride * s.period // pool_t
+                assert s.n_new == max(s.by_phase[p]["delta"] for p in range(s.period))
+                for p in range(s.period):
+                    e = s.by_phase[p]
+                    assert 0 <= e["gap"] <= s.s6_ring_len - span
+                    assert 0 <= e["slab_start"] <= s.mel_cache_len - s.slab_frames
+                assert sorted(s.by_phase) == list(range(s.period))
+    assert built >= 50, f"fuzz grid mostly failed to build ({built})"
