@@ -371,7 +371,9 @@ def main():
     # unrolls one schedule period (period=3 at the 62.5 ms/500 ms defaults).
     from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
 
-    del eng, lat_buf, chain  # free the last latency engine's HBM before the trunk runs
+    # free everything big the earlier sections hold before the 65k-stream
+    # trunk engine prefills (its kept state is ~2 GB; headroom matters)
+    del eng, lat_buf, chain, out, audio, buf_dev, state, carry, fired, engine, legacy, online, inc
 
     trunk_counts = (16384, 65536) if on_tpu else (8,)
     trunk_k = 11 if on_tpu else 2  # super-steps per sample (steps = k * period)

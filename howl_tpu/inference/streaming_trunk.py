@@ -136,6 +136,7 @@ class FusedStreamingOnlineEngine:
         spec: Optional[ModelSpec] = None,
         num_streams: int = 1,
         compute_dtype=None,
+        prefill_block: int = 8192,
     ):
         import dataclasses
 
@@ -156,6 +157,7 @@ class FusedStreamingOnlineEngine:
             raise ValueError("FusedStreamingOnlineEngine requires a trunk-capable model (res8)")
         self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
         self.num_streams = num_streams
+        self.prefill_block = max(int(prefill_block), 1)
 
         hop, n_fft, sr = frontend.hop_length, frontend.n_fft, cfg.sample_rate
         self.window_frames = int(cfg.max_window_size_ms / 1000 * sr) // hop + 1
@@ -205,7 +207,19 @@ class FusedStreamingOnlineEngine:
         want = self.window_frames * self.frontend.hop_length
         if preroll.shape != (n, want):
             raise ValueError(f"preroll must be {(n, want)}, got {preroll.shape}")
-        self.mel_cache, self.rings, self.s6_ring, self.tail = self._prefill(self.variables, jnp.asarray(preroll))
+        # Prefill in stream blocks: trunk_intermediates keeps EVERY stage of
+        # the preroll clip alive at once (~100 KB/stream transient — ~7 GB at
+        # 65k streams), while the kept rings are only ~30 KB/stream. Blocking
+        # caps the transient; one extra compile for a ragged final block.
+        blocks = []
+        for lo in range(0, n, self.prefill_block):
+            blocks.append(self._prefill(self.variables, jnp.asarray(preroll[lo : lo + self.prefill_block])))
+        if len(blocks) == 1:
+            self.mel_cache, self.rings, self.s6_ring, self.tail = blocks[0]
+        else:
+            self.mel_cache, self.rings, self.s6_ring, self.tail = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *blocks
+            )
         self.state = init_state(n, self.cfg.num_labels, self._s_steps, self._w_steps)
         self.carry = None
         self._j = 0  # hops pushed so far

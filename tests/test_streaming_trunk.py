@@ -170,3 +170,41 @@ def test_trunk_schedule_fuzz():
                     assert 0 <= e["slab_start"] <= s.mel_cache_len - s.slab_frames
                 assert sorted(s.by_phase) == list(range(s.period))
     assert built >= 50, f"fuzz grid mostly failed to build ({built})"
+
+
+def test_blocked_prefill_matches_single_block(rng):
+    """prefill_block < num_streams must produce the same caches (prefill is
+    per-stream; blocking only caps the trunk_intermediates transient — XLA
+    kernel blocking differs across batch shapes, so tolerance is float-eps
+    scale, not bit-exact)."""
+    import jax.numpy as jnp
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+    cfg, frontend, offline, one = _build(num_streams=5)
+    blocked = FusedStreamingOnlineEngine(
+        one.model, one.variables, cfg, frontend, spec=one.spec,
+        num_streams=5, prefill_block=2,
+    )
+    preroll = (rng.standard_normal((5, one.window_frames * frontend.hop_length)) * 0.1).astype(np.float32)
+    one.reset(preroll)
+    blocked.reset(preroll)
+    np.testing.assert_allclose(
+        np.asarray(one.mel_cache), np.asarray(blocked.mel_cache), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(one.s6_ring), np.asarray(blocked.s6_ring), rtol=1e-4, atol=1e-5
+    )
+    for name in one.rings:
+        np.testing.assert_allclose(
+            np.asarray(one.rings[name]), np.asarray(blocked.rings[name]),
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )
+    # and both engines step identically afterwards
+    hop = one.hop_samples
+    audio = (rng.standard_normal((5, hop * 8)) * 0.1).astype(np.float32)
+    for j in range(8):
+        one.push(audio[:, j * hop : (j + 1) * hop])
+        blocked.push(audio[:, j * hop : (j + 1) * hop])
+    np.testing.assert_allclose(
+        np.asarray(one.last_probs), np.asarray(blocked.last_probs), rtol=1e-4, atol=1e-5
+    )
