@@ -396,7 +396,7 @@ def main():
         )
         # un-jitted per-phase bodies compose inside the outer jit; push j
         # (1-based) runs phase j % period
-        phase_fns = {p: teng._build_step(p).__wrapped__ for p in teng._steps}
+        phase_fns = {p: getattr(teng._build_step(p), "__wrapped__", teng._steps[p]) for p in teng._steps}
 
         @jax.jit
         def run_trunk(variables, buf, tail, mel_cache, rings, s6_ring, state,

@@ -18,6 +18,10 @@ import numpy as np
 
 
 def main():
+    from howl_tpu.utils.platform import ensure_platform
+
+    ensure_platform()  # honor JAX_PLATFORMS=cpu despite the sitecustomize TPU pin
+
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +73,7 @@ def main():
     # un-jitted per-phase bodies compose inside the outer jit; phase of push j
     # (1-based) is j % period, so a super-step starting at j=m*period+1 runs
     # phases 1, 2, ..., period-1, 0
-    phase_fns = {p: eng._build_step(p).__wrapped__ for p in eng._steps}
+    phase_fns = {p: getattr(eng._build_step(p), "__wrapped__", eng._steps[p]) for p in eng._steps}
 
     @jax.jit
     def run_trunk(variables, buf, tail, mel_cache, rings, s6_ring, state):
