@@ -367,9 +367,9 @@ def main():
 
     # ---- streaming-trunk serving: per-layer conv caches compute only each
     # hop's newly-final trunk frames (inference/streaming_trunk.py) — the
-    # capacity path. The step program is per-phase static, so the scan body
-    # unrolls one schedule period (period=3 at the 62.5 ms/500 ms defaults).
-    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+    # capacity path. make_chained_runner unrolls one schedule period per scan
+    # iteration (the step programs are per-phase static).
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine, make_chained_runner
 
     # free everything big the earlier sections hold before the 65k-stream
     # trunk engine prefills (its kept state is ~2 GB; headroom matters)
@@ -386,48 +386,13 @@ def main():
             num_streams=n_s, compute_dtype=compute_dtype,
         )
         period = teng.schedule.period
-        # period+1 so j % t_ring_hops still varies across scan iterations
-        # (a period-multiple would make every chunk slice loop-invariant and
-        # let XLA hoist the frontend out of the chain), while keeping the
-        # audio buffer ~1 GB at 65k streams
+        # period+1 keeps the audio buffer ~1 GB at 65k streams (the runner
+        # rejects period multiples — hoistable slices)
         t_ring_hops = period + 1
         tbuf = jax.device_put(
             (rng.standard_normal((n_s, t_ring_hops * teng.hop_samples)) * 0.1).astype(np.float32)
         )
-        # un-jitted per-phase bodies compose inside the outer jit; push j
-        # (1-based) runs phase j % period
-        phase_fns = {p: getattr(teng._build_step(p), "__wrapped__", teng._steps[p]) for p in teng._steps}
-
-        @jax.jit
-        def run_trunk(variables, buf, tail, mel_cache, rings, s6_ring, state,
-                      teng=teng, n_s=n_s, period=period, t_ring_hops=t_ring_hops,
-                      phase_fns=phase_fns):
-            valid = jnp.full((n_s,), True)
-
-            def body(carry, m):
-                tail, mel_cache, rings, s6_ring, state = carry
-                fired = None
-                for i in range(period):
-                    j = m * period + 1 + i
-                    off = (j % t_ring_hops) * teng.hop_samples
-                    chunk = jax.lax.dynamic_slice(
-                        buf, (jnp.int32(0), off), (n_s, teng.hop_samples)
-                    )
-                    tail, mel_cache, rings, s6_ring, state, _, fired, _ = phase_fns[
-                        (1 + i) % period
-                    ](
-                        variables, chunk, tail, mel_cache, rings, s6_ring, state,
-                        j.astype(jnp.float32) * teng.stride_ms, valid,
-                    )
-                return (tail, mel_cache, rings, s6_ring, state), fired
-
-            carry, fireds = jax.lax.scan(
-                body, (tail, mel_cache, rings, s6_ring, state),
-                jnp.arange(trunk_k, dtype=jnp.int32),
-            )
-            return carry, fireds[-1]
-
-        chain = (teng.tail, teng.mel_cache, teng.rings, teng.s6_ring, teng.state)
+        run_trunk, chain = make_chained_runner(teng, t_ring_hops, trunk_k)
         chain, fired = run_trunk(teng.variables, tbuf, *chain)
         _ = np.asarray(fired)  # compile + warmup
         n_steps = trunk_k * period

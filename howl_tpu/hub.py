@@ -91,6 +91,10 @@ def load_workspace_engine(
     variables = workspace.load_model(variables, best=best)
 
     cfg = EngineConfig.from_settings(ctx)
+    if streaming_trunk and incremental:
+        raise ValueError(
+            "streaming_trunk and incremental select different engines — pass exactly one"
+        )
     engine_cls = OnlineEngine
     if streaming_trunk:
         from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine

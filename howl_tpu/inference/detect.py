@@ -176,6 +176,24 @@ def smooth_and_detect(
     Returns dict with per-step labels (B, T), fired mask (B, T), detected (B,),
     first fire step (B,) (= T when never fired).
     """
+    # the detection threshold is passed as a TRACED operand so threshold sweeps
+    # reuse one compiled program (cfg is a static jit arg; baking the threshold
+    # into it would recompile per threshold)
+    static_cfg, s_steps, w_steps, stride, check_offset = _ring_geometry(
+        times, cfg, check_offset_is_stride
+    )
+    threshold = jnp.float32(cfg.inference_threshold)
+    return _smooth_and_detect_parallel(
+        probs_seq, valid_seq, threshold, static_cfg, s_steps, w_steps, stride, check_offset
+    )
+
+
+def _ring_geometry(times, cfg: EngineConfig, check_offset_is_stride: bool):
+    """Shared smoothing/FSM ring geometry for the single-threshold and sweep
+    entry points — these formulas MUST stay identical for detect_from_scores
+    and detect_sweep_from_scores to agree (tests/test_fused_trunk.py)."""
+    import dataclasses
+
     times = np.asarray(times, np.float32)
     stride = float(times[1] - times[0]) if times.shape[0] > 1 else cfg.eval_stride_size_ms
     stride = max(stride, 1e-6)
@@ -184,16 +202,8 @@ def smooth_and_detect(
     # shifts k where an entry at t-k is still inside the inference window when
     # checked at t + check_offset: k*stride + check_offset <= window
     w_steps = max(int((cfg.inference_window_ms - check_offset) // stride) + 1, 1)
-    # the detection threshold is passed as a TRACED operand so threshold sweeps
-    # reuse one compiled program (cfg is a static jit arg; baking the threshold
-    # into it would recompile per threshold)
-    import dataclasses
-
-    threshold = jnp.float32(cfg.inference_threshold)
     static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
-    return _smooth_and_detect_parallel(
-        probs_seq, valid_seq, threshold, static_cfg, s_steps, w_steps, float(stride), float(check_offset)
-    )
+    return static_cfg, s_steps, w_steps, float(stride), float(check_offset)
 
 
 def _smooth_parallel(probs_seq, valid_seq, cfg: EngineConfig, s_steps: int):
@@ -312,18 +322,12 @@ def _smooth_and_detect_sweep(
 def smooth_and_detect_sweep(probs_seq, times, valid_seq, thresholds, cfg: EngineConfig, check_offset_is_stride: bool = True) -> dict:
     """Threshold-sweep variant of smooth_and_detect: one device dispatch for
     all thresholds; outputs carry a leading (K,) thresholds axis."""
-    import dataclasses
-
-    times = np.asarray(times, np.float32)
-    stride = float(times[1] - times[0]) if times.shape[0] > 1 else cfg.eval_stride_size_ms
-    stride = max(stride, 1e-6)
-    s_steps = max(int(cfg.smoothing_window_ms // stride) + 1, 1)
-    check_offset = stride if check_offset_is_stride else 0.0
-    w_steps = max(int((cfg.inference_window_ms - check_offset) // stride) + 1, 1)
-    static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
+    static_cfg, s_steps, w_steps, stride, check_offset = _ring_geometry(
+        times, cfg, check_offset_is_stride
+    )
     return _smooth_and_detect_sweep(
         probs_seq, valid_seq, jnp.asarray(thresholds, jnp.float32), static_cfg,
-        s_steps, w_steps, float(stride), float(check_offset)
+        s_steps, w_steps, stride, check_offset
     )
 
 

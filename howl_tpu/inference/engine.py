@@ -252,31 +252,37 @@ class StreamingEngine:
         self._geom_cache[key] = geom
         return geom
 
+    def _score_weight_mask(self, variables, audio, lengths, n_windows):
+        """Shared scoring front half of the fused decision programs: model
+        posteriors, inference weights, and the per-step validity mask (the
+        sequential frame-length clamp vs the reference's >=1000-sample window
+        rule, ref inference.py:228-233). Single home so infer_batch and
+        infer_sweep_batch can never desynchronize."""
+        probs = self._score(variables, audio, n_windows)  # (B, T, L)
+        t_steps = probs.shape[1]
+        probs = apply_inference_weights(probs, self.cfg)
+        if self.spec.is_sequential:
+            frame_len = self.model.compute_length(lengths // self.frontend.hop_length + 1)
+            frame_len = jnp.clip(frame_len, 1, t_steps)
+            valid = jnp.arange(t_steps)[None, :] < frame_len[:, None]
+        else:
+            win_start = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
+            valid = (lengths[:, None] - win_start) >= 1000
+        return probs, valid
+
     def _build_infer_fused(self):
         """ONE jitted dispatch for the whole decision path: scoring, inference
         weights, validity masking, smoothing + FSM. Keeping every stage in a
         single program matters beyond fusion: each separate device call pays
         fixed dispatch latency (sub-ms over PCIe, ms-scale through remote
         relays), which at this model's size rivals the compute itself."""
-        cfg = self.cfg
-        spec = self.spec
-        score = self._score
         import dataclasses
 
-        static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
+        static_cfg = dataclasses.replace(self.cfg, inference_threshold=0.0)
 
         @partial(jax.jit, static_argnames=("n_windows", "s_steps", "w_steps", "stride", "check_offset"))
         def infer_fn(variables, audio, lengths, threshold, n_windows, s_steps, w_steps, stride, check_offset):
-            probs = score(variables, audio, n_windows)  # (B, T, L)
-            t_steps = probs.shape[1]
-            probs = apply_inference_weights(probs, cfg)
-            if spec.is_sequential:
-                frame_len = self.model.compute_length(lengths // self.frontend.hop_length + 1)
-                frame_len = jnp.clip(frame_len, 1, t_steps)
-                valid = jnp.arange(t_steps)[None, :] < frame_len[:, None]
-            else:
-                win_start = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
-                valid = (lengths[:, None] - win_start) >= 1000
+            probs, valid = self._score_weight_mask(variables, audio, lengths, n_windows)
             out = _smooth_and_detect_parallel(
                 probs, valid, threshold, static_cfg, s_steps, w_steps, stride, check_offset
             )
@@ -289,25 +295,13 @@ class StreamingEngine:
         """Fused scoring + ALL-thresholds detection in one dispatch: the model
         scores once, the (cheap) FSM is vmapped over the thresholds axis.
         One relay round-trip per eval batch instead of 1 + K."""
-        cfg = self.cfg
-        spec = self.spec
-        score = self._score
         import dataclasses
 
-        static_cfg = dataclasses.replace(cfg, inference_threshold=0.0)
+        static_cfg = dataclasses.replace(self.cfg, inference_threshold=0.0)
 
         @partial(jax.jit, static_argnames=("n_windows", "s_steps", "w_steps", "stride", "check_offset"))
         def sweep_fn(variables, audio, lengths, thresholds, n_windows, s_steps, w_steps, stride, check_offset):
-            probs = score(variables, audio, n_windows)  # (B, T, L)
-            t_steps = probs.shape[1]
-            probs = apply_inference_weights(probs, cfg)
-            if spec.is_sequential:
-                frame_len = self.model.compute_length(lengths // self.frontend.hop_length + 1)
-                frame_len = jnp.clip(frame_len, 1, t_steps)
-                valid = jnp.arange(t_steps)[None, :] < frame_len[:, None]
-            else:
-                win_start = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
-                valid = (lengths[:, None] - win_start) >= 1000
+            probs, valid = self._score_weight_mask(variables, audio, lengths, n_windows)
             return _smooth_and_detect_sweep(
                 probs, valid, thresholds, static_cfg, s_steps, w_steps, stride, check_offset
             )["detected"]  # (K, B)

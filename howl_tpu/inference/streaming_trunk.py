@@ -73,10 +73,19 @@ class TrunkSchedule:
         self.mel_cache_len = self.slab_frames + max(tails)
         # decision lag (hops): first j where every window's span is final
         self.lag = next(
-            lag
-            for lag in range(0, 64)
-            if all(self._p(k + lag) - layers >= self._r(k) + span - 1 for k in range(4 * self.period))
+            (
+                lag
+                for lag in range(0, 64)
+                if all(self._p(k + lag) - layers >= self._r(k) + span - 1 for k in range(4 * self.period))
+            ),
+            None,
         )
+        if self.lag is None:
+            raise ValueError(
+                f"no decision lag <= 64 hops exists for geometry (m0={m0}, "
+                f"stride_frames={stride_frames}, pool_t={pool_t}, span={span}): "
+                "the window/stride combination cannot be served by the streaming trunk"
+            )
         gaps = [self._gap(j) for j in range(self.lag, self.lag + self.period)]
         self.s6_ring_len = span + max(gaps)
         # per-phase constants, phase = j % period
@@ -113,6 +122,60 @@ class TrunkSchedule:
     def _gap(self, j: int) -> int:
         k = j - self.lag
         return (self._p(j) - self.layers) - (self._r(k) + self.span - 1)
+
+
+def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, super_steps: int):
+    """Jitted bulk runner: push ``super_steps * schedule.period`` hops through
+    the engine as ONE on-device ``lax.scan`` (state-serialized, one fetch) —
+    the honest way to benchmark or bulk-replay through a high-latency relay
+    (per-call dispatch costs ~ms there; see bench.py methodology).
+
+    Each hop reads the streams' audio from a (num_streams,
+    ring_hops * hop_samples) device buffer at offset ``(j % ring_hops) *
+    hop_samples``. ring_hops must NOT be a multiple of the schedule period:
+    the phase cycle would then make every chunk slice loop-invariant and XLA
+    would hoist the frontend out of the timing chain.
+
+    Returns (run, init_carry): ``carry, last_fired = run(variables, buf,
+    *carry)``; carry is (tail, mel_cache, rings, s6_ring, state).
+    """
+    period = engine.schedule.period
+    if ring_hops % period == 0:
+        raise ValueError(
+            f"ring_hops={ring_hops} is a multiple of the schedule period "
+            f"({period}): chunk slices become loop-invariant and XLA hoists "
+            "the frontend out of the chain"
+        )
+    n_s = engine.num_streams
+    # un-jitted per-phase bodies compose inside the outer jit; push j
+    # (1-based) runs phase j % period
+    phase_fns = {p: getattr(engine._steps[p], "__wrapped__", engine._steps[p]) for p in engine._steps}
+
+    @jax.jit
+    def run(variables, buf, tail, mel_cache, rings, s6_ring, state):
+        valid = jnp.full((n_s,), True)
+
+        def body(carry, m):
+            tail, mel_cache, rings, s6_ring, state = carry
+            fired = None
+            for i in range(period):
+                j = m * period + 1 + i
+                off = (j % ring_hops) * engine.hop_samples
+                chunk = jax.lax.dynamic_slice(buf, (jnp.int32(0), off), (n_s, engine.hop_samples))
+                tail, mel_cache, rings, s6_ring, state, _, fired, _ = phase_fns[(1 + i) % period](
+                    variables, chunk, tail, mel_cache, rings, s6_ring, state,
+                    j.astype(jnp.float32) * engine.stride_ms, valid,
+                )
+            return (tail, mel_cache, rings, s6_ring, state), fired
+
+        carry, fireds = jax.lax.scan(
+            body, (tail, mel_cache, rings, s6_ring, state),
+            jnp.arange(super_steps, dtype=jnp.int32),
+        )
+        return carry, fireds[-1]
+
+    init = (engine.tail, engine.mel_cache, engine.rings, engine.s6_ring, engine.state)
+    return run, init
 
 
 class FusedStreamingOnlineEngine:
@@ -153,8 +216,14 @@ class FusedStreamingOnlineEngine:
         self.zmuv_mean = float(zmuv_mean)
         self.zmuv_std = float(zmuv_std)
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
-        if not self.spec.supports_trunk:
-            raise ValueError("FusedStreamingOnlineEngine requires a trunk-capable model (res8)")
+        # mirror StreamingEngine's fused-trunk eligibility (engine.py:116-119):
+        # convert_static wraps res8 into a sequential model whose spec keeps
+        # supports_trunk=True but which has no trunk methods
+        if not self.spec.supports_trunk or self.spec.is_sequential or self.spec.is_recurrent:
+            raise ValueError(
+                "FusedStreamingOnlineEngine requires a trunk-capable non-sequential "
+                f"model (res8); got spec={self.spec}"
+            )
         self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
         self.num_streams = num_streams
         self.prefill_block = max(int(prefill_block), 1)
@@ -224,6 +293,10 @@ class FusedStreamingOnlineEngine:
         self.carry = None
         self._j = 0  # hops pushed so far
         self.curr_time = 0.0  # window-k clock (k = j - lag)
+        # cleared so a post-reset poll can't observe the previous stream's step
+        self.last_labels = None
+        self.last_probs = None
+        self.last_fired = None
 
     def shard_streams(self, mesh):
         """Serve the streams SPMD over the mesh's ``data`` axis: params

@@ -27,6 +27,8 @@ def run(args=None):
                  "cheapest per-step path, +250 ms decision lag)"),
     )
     args = apb.parser.parse_args(args)
+    if args.incremental and args.streaming_trunk:
+        apb.parser.error("--incremental and --streaming-trunk are mutually exclusive")
 
     source = FileAudioSource(args.wav) if args.wav else None
     client = HowlClient.from_workspace(

@@ -158,7 +158,7 @@ def test_trunk_schedule_fuzz():
                 m0 = 40 + pool_t * (span + 10)  # enough prefill for the span
                 try:
                     s = TrunkSchedule(m0, stride, pool_t, span)
-                except StopIteration:
+                except ValueError:
                     continue  # no lag <= 64 exists for this geometry
                 built += 1
                 period_advance = sum(s.by_phase[p]["delta"] for p in range(s.period))

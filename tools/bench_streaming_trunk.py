@@ -57,51 +57,22 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
     compute_dtype = jnp.bfloat16 if on_tpu else None
 
+    from howl_tpu.inference.streaming_trunk import make_chained_runner
+
     eng = FusedStreamingOnlineEngine(
         model, variables, cfg, frontend, spec=model_spec("res8"),
         num_streams=n_streams, compute_dtype=compute_dtype,
     )
     period = eng.schedule.period
     super_steps = max(steps // period, 1)
-    # period+1: non-loop-invariant chunk slices (hoist-proof) at ~1/3 the
-    # audio-buffer HBM of a 4*period ring — 65k streams OOM'd otherwise
+    # period+1: non-loop-invariant chunk slices (the runner rejects period
+    # multiples) at ~1/3 the audio-buffer HBM of a 4*period ring — 65k
+    # streams OOM'd otherwise
     ring_hops = period + 1
     buf = jax.device_put(
         (rng.standard_normal((n_streams, ring_hops * eng.hop_samples)) * 0.1).astype(np.float32)
     )
-
-    # un-jitted per-phase bodies compose inside the outer jit; phase of push j
-    # (1-based) is j % period, so a super-step starting at j=m*period+1 runs
-    # phases 1, 2, ..., period-1, 0
-    phase_fns = {p: getattr(eng._build_step(p), "__wrapped__", eng._steps[p]) for p in eng._steps}
-
-    @jax.jit
-    def run_trunk(variables, buf, tail, mel_cache, rings, s6_ring, state):
-        valid = jnp.full((n_streams,), True)
-
-        def body(carry, m):
-            tail, mel_cache, rings, s6_ring, state = carry
-            fired = None
-            for i in range(period):
-                j = m * period + 1 + i
-                off = (j % ring_hops) * eng.hop_samples
-                chunk = jax.lax.dynamic_slice(
-                    buf, (jnp.int32(0), off), (n_streams, eng.hop_samples)
-                )
-                phase = (1 + i) % period
-                t_now = (j.astype(jnp.float32)) * eng.stride_ms
-                tail, mel_cache, rings, s6_ring, state, _, fired, _ = phase_fns[phase](
-                    variables, chunk, tail, mel_cache, rings, s6_ring, state, t_now, valid
-                )
-            return (tail, mel_cache, rings, s6_ring, state), fired
-
-        ms = jnp.arange(super_steps, dtype=jnp.int32)
-        carry, fireds = jax.lax.scan(
-            body, (tail, mel_cache, rings, s6_ring, state), ms
-        )
-        return carry, fireds[-1]
-
-    carry = (eng.tail, eng.mel_cache, eng.rings, eng.s6_ring, eng.state)
+    run_trunk, carry = make_chained_runner(eng, ring_hops, super_steps)
     out, fired = run_trunk(eng.variables, buf, *carry)  # compile
     _ = np.asarray(fired)
     t0 = time.perf_counter()
@@ -114,7 +85,7 @@ def main():
           f"-> {trunk_streams:,.0f} streams/chip @62.5ms")
 
     # ---- incremental baseline (same harness as bench.py) ----
-    del out, carry, eng, run_trunk, phase_fns  # free trunk HBM first
+    del out, carry, eng, run_trunk  # free trunk HBM first
     inc = IncrementalOnlineEngine(
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
         num_streams=n_streams, compute_dtype=compute_dtype,
