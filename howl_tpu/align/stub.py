@@ -10,8 +10,14 @@ from howl_tpu.align.base import AlignedTranscription, Aligner
 class StubAligner(Aligner):
     def align(self, sample) -> AlignedTranscription:
         end_ms = sample.audio_data.shape[-1] / sample.sample_rate * 1000
-        transcription = sample.metadata.transcription.lower()
+        return self.from_duration(sample.metadata.transcription, end_ms)
+
+    @staticmethod
+    def from_duration(transcription: str, duration_ms: float) -> AlignedTranscription:
+        """Alignment from transcription + duration alone — lets callers skip
+        the audio decode entirely (a WAV header read gives the duration)."""
+        transcription = transcription.lower()
         return AlignedTranscription(
             transcription=transcription,
-            end_timestamps=np.linspace(0, end_ms, len(transcription)).tolist(),
+            end_timestamps=np.linspace(0, duration_ms, len(transcription)).tolist(),
         )

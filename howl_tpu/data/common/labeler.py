@@ -40,7 +40,18 @@ class WordFrameLabeler(FrameLabeler):
         for word in metadata.transcription.split():
             matched, rest = self.vocab.trie.max_split(word)
             word_size = len(word.rstrip())
-            if matched and rest == "" and char_idx + word_size - 1 < len(end_ts):
+            if matched and rest == "":
+                if char_idx + word_size - 1 >= len(end_ts):
+                    # silently skipping would label a clip that CONTAINS the
+                    # wakeword as all-negative and train the model not to
+                    # fire; the reference fails loudly here too (IndexError/
+                    # TypeError at labeler.py:175)
+                    raise ValueError(
+                        f"word {word!r} matched the vocab but end_timestamps "
+                        f"({len(end_ts)} entries) do not cover its characters in "
+                        f"{metadata.path}: attach alignments (attach_alignment) "
+                        "before labeling"
+                    )
                 label = self.vocab[word]
                 frame_labels[end_ts[char_idx + word_size - 1]] = label
                 char_indices.append((label, list(range(char_idx, char_idx + word_size))))
@@ -100,6 +111,12 @@ class PhoneticFrameLabeler(FrameLabeler):
             elif original_word:
                 Logger.debug(f"failed to find phonemes for {original_word!r}")
 
+        # KNOWN APPROXIMATION (reference-identical, ref labeler.py:140-148
+        # with its own TODOs): ``start`` is an audible-PHONE index but
+        # end_timestamps are per-CHARACTER, so the chosen timestamp lands
+        # early/mid-word rather than at the phrase end. Kept for behavior
+        # parity; out-of-range indices warn instead of the reference's
+        # IndexError so partially-aligned corpora still process.
         end_ts = metadata.end_timestamps or []
         for idx, phrase in enumerate(self.phrases):
             start = 0
@@ -110,6 +127,12 @@ class PhoneticFrameLabeler(FrameLabeler):
                     break
                 if start < len(end_ts):
                     frame_labels[end_ts[start]] = idx
+                else:
+                    Logger.warning(
+                        f"phone phrase {idx} found at audible index {start} but "
+                        f"end_timestamps has {len(end_ts)} entries ({metadata.path}); "
+                        "label dropped — re-align the clip"
+                    )
                 start += 1
         return FrameLabelData(frame_labels, [], [])
 

@@ -99,9 +99,10 @@ class WakeWordFrameBatchifier:
                 end_ms_rand = end_ms + rng.random() * self.eps_ms
                 b = int(end_ms_rand / 1000 * self.sample_rate)
                 a = max(b - self.window_samples, 0)
-                if b - a <= 0:
-                    # degenerate zero-length span (end_ms at clip start):
-                    # an all-zeros window must not carry a positive label
+                if min(b, clip.shape[-1]) - a <= 0:
+                    # degenerate zero-length span (end_ms at clip start, OR
+                    # label timestamps past a truncated/empty decode): an
+                    # all-zeros window must not carry a positive label
                     select_negative = True
                 else:
                     cut.append((label, clip, a, min(b, clip.shape[-1])))
@@ -173,9 +174,20 @@ class AudioSequenceBatchifier:
         self.sample_rate = sample_rate
         self.max_audio_samples = max_audio_samples
         self.max_label_length = max_label_length
+        self._warned_truncation = False
 
     def __call__(self, samples: Sequence[Sample]) -> SequenceBatch:
         label_lists = [self.tokenizer.encode(s.metadata.transcription) for s in samples]
+        if not self._warned_truncation and any(len(l) > self.max_label_length for l in label_lists):
+            # dropping transcript tails silently would train CTC toward a
+            # truncated target (possibly cutting the wakeword itself)
+            from howl_tpu.utils.logger import Logger
+
+            Logger.warning(
+                f"label sequence longer than max_label_length={self.max_label_length} "
+                "truncated; raise max_label_length to keep full transcripts"
+            )
+            self._warned_truncation = True
         audio_lengths = np.array(
             [min(s.audio_data.shape[-1], self.max_audio_samples or 10**12) for s in samples], np.int32
         )
@@ -195,7 +207,9 @@ class ClassificationBatchSampler:
     ClassificationBatch (replaces DataLoader+collate; ref dataloader.py:8-27).
 
     Drops the last partial batch during training (static shapes); for eval pads
-    the final batch by repeating the first element and reports ``valid`` count.
+    the final batch by cycling the epoch order from its start (repeating as
+    many times as needed for datasets smaller than the shortfall) and reports
+    the ``valid`` count.
     """
 
     def __init__(
@@ -228,7 +242,10 @@ class ClassificationBatchSampler:
             if len(idx) < self.batch_size:
                 if self.drop_last:
                     return
-                idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
+                # np.resize tiles the order cyclically, so datasets smaller
+                # than the shortfall still fill every row (no zero-audio
+                # rows silently labeled class 0)
+                idx = np.concatenate([idx, np.resize(order, self.batch_size - len(idx))])
                 valid = len(order) - start
             else:
                 valid = self.batch_size
@@ -241,7 +258,16 @@ class ClassificationBatchSampler:
                     sample.audio_data, self.window_samples, self._place_rng, rand_append=False
                 )
                 audio[row] = placed
-                labels[row] = sample.label if sample.label is not None else 0
+                if sample.label is None:
+                    # coercing to 0 would silently train unknowns as the
+                    # first vocab class (the reference maps unknowns to a
+                    # dedicated class via defaultdict, ref dataset.py)
+                    raise ValueError(
+                        f"sample {int(i)} has no label: transcription "
+                        f"{sample.metadata.transcription!r} is not in label_map and no "
+                        "'__default__' fallback is set"
+                    )
+                labels[row] = sample.label
                 lengths[row] = length
             batch = ClassificationBatch(audio, labels, lengths)
             batch.valid = valid  # type: ignore[attr-defined]

@@ -52,12 +52,17 @@ class AlignedAudioDatasetGenerator:
                 raise ValueError("MFA alignment requires --alignments-path")
             self.alignments = self._load_mfa_alignments(Path(alignments_path), token_type)
         elif alignment_type == AlignmentType.STUB:
+            # the stub aligner needs only transcription + duration: read the
+            # WAV header for the sample count instead of decoding every clip
+            from howl_tpu.utils.audio_utils import wav_num_samples
+
             self.alignments: Dict[str, AlignedTranscription] = {}
             for ds in (self.train_ds, self.dev_ds, self.test_ds):
-                aligner = StubAligner()
-                for idx in range(len(ds)):
-                    sample = ds[idx]
-                    self.alignments[sample.metadata.audio_id] = aligner.align(sample)
+                for metadata in ds.metadata_list:
+                    duration_ms = wav_num_samples(metadata.path, sample_rate) / sample_rate * 1000
+                    self.alignments[metadata.audio_id] = StubAligner.from_duration(
+                        metadata.transcription, duration_ms
+                    )
         else:
             raise ValueError(f"alignment type is invalid: {alignment_type}")
 
