@@ -106,15 +106,28 @@ class ConvertedStaticModel(nn.Module):
     frame_stride_size: int = 10
 
     def compute_length(self, length):
+        """Output count for ``length`` input frames: every complete stride-
+        aligned window, (length - W)//S + 1 — consistent with __call__. (The
+        reference emits 1 + (T-W)//S outputs but its FIRST window is the clip
+        tail x[..., W:] while compute_length says (T-W)//S — an upstream
+        inconsistency we replace with standard full-coverage windows,
+        ref base.py:47-62.)"""
         if length is None:
             return None
-        return jnp.maximum(1, (length - self.frame_window_size) // self.frame_stride_size)
+        return jnp.maximum(1, (length - self.frame_window_size) // self.frame_stride_size + 1)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths=None, train: bool = False):
         # x: (B, C, F, T)
         total = x.shape[-1]
-        num_windows = max(1, (total - self.frame_window_size) // self.frame_stride_size)
+        if total < self.frame_window_size:
+            # fancy indexing would clamp out-of-range frame indices and
+            # silently duplicate the last frame
+            raise ValueError(
+                f"input has {total} frames but the converted model's window is "
+                f"{self.frame_window_size}; pad clips to at least one window"
+            )
+        num_windows = (total - self.frame_window_size) // self.frame_stride_size + 1
         starts = np.arange(num_windows) * self.frame_stride_size
         idx = starts[:, None] + np.arange(self.frame_window_size)[None, :]  # (nw, W)
         windows = x[..., idx]  # (B, C, F, nw, W)

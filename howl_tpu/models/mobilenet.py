@@ -74,8 +74,11 @@ class MobileNetClassifier(HowlModel):
         h = self._mels_only_nhwc(x)  # (B, T, F, 1)
         if self.dtype is not None:
             h = h.astype(self.dtype)
-        # stem parity with ref downsample: 1->3ch conv + BN + ReLU + time maxpool
-        h = nn.Conv(3, (3, 3), padding=((1, 1), (3, 3)), dtype=self.dtype, name="downsample")(h)
+        # stem parity with ref downsample: 1->3ch conv + BN + ReLU + time
+        # maxpool. Reference pads (F=1, T=3) on NCHW (ref cnn.py:18); in this
+        # NHWC (B, T, F, 1) layout that is ((3,3),(1,1)) — same pattern as
+        # SimpleGru (rnn.py:95)
+        h = nn.Conv(3, (3, 3), padding=((3, 3), (1, 1)), dtype=self.dtype, name="downsample")(h)
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="downsample_bn")(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (2, 1), strides=(2, 1))

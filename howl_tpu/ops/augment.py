@@ -132,18 +132,21 @@ def spec_augment(feats: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.
     """Time + frequency masking on (B, C, F, T) features (transform.py:299-339)."""
     b, _, f, t = feats.shape
     kt1, kt2, kf1, kf2, kp1, kp2 = jax.random.split(key, 6)
-    # time mask
+    # time mask; draws that don't fit the window are SKIPPED like the
+    # reference (transform.py tmask catches randrange's ValueError when
+    # t_len >= T and applies nothing) — clamping them to t-1 would silence
+    # ~15% of default-config windows (sa_time=75 vs 61 frames) per step
     t_len = jax.random.randint(kt1, (b,), 0, max(cfg.sa_time, 1))
-    t_len = jnp.minimum(t_len, t - 1)
+    t_len = jnp.where(t_len >= t, 0, t_len)
     t_start = (jax.random.uniform(kt2, (b,)) * (t - t_len)).astype(jnp.int32)
     t_idx = jnp.arange(t)[None, :]
     t_mask = (t_idx >= t_start[:, None]) & (t_idx < (t_start + t_len)[:, None])
     apply_t = jax.random.bernoulli(kp1, cfg.prob, (b,))
     t_mask = t_mask & apply_t[:, None]
     feats = feats * ~t_mask[:, None, None, :]
-    # frequency mask
+    # frequency mask (same skip-if-too-long semantics)
     f_len = jax.random.randint(kf1, (b,), 0, max(cfg.sa_freq, 1))
-    f_len = jnp.minimum(f_len, f - 1)
+    f_len = jnp.where(f_len >= f, 0, f_len)
     f_start = (jax.random.uniform(kf2, (b,)) * (f - f_len)).astype(jnp.int32)
     f_idx = jnp.arange(f)[None, :]
     f_mask = (f_idx >= f_start[:, None]) & (f_idx < (f_start + f_len)[:, None])

@@ -225,13 +225,22 @@ def log_mel_spectrogram_pallas(
     mels_pad = _round_up(n_mels, 128)
     fb_pad = np.zeros((n_bins, mels_pad), np.float32)
     fb_pad[:, :n_mels] = fb[:n_bins]
+    # track each matrix's role positionally: selecting the BlockSpec by a
+    # shape test (m.shape[0] == hop) misclassifies the filterbank whenever
+    # hop_length == n_bins (e.g. n_fft=400/hop=200, n_fft=512/hop=256) and
+    # crashes the kernel
     if passes == 6:
         mats = [*w_blocks, fb_pad]
+        mat_kinds = ["w"] * len(w_blocks) + ["fb"]
     else:
-        mats = []
+        mats, mat_kinds = [], []
         for wj in w_blocks:
-            mats.extend(_split_bf16(wj))
-        mats.extend(_split_bf16(fb_pad))
+            parts = _split_bf16(wj)
+            mats.extend(parts)
+            mat_kinds.extend(["w"] * len(parts))
+        parts = _split_bf16(fb_pad)
+        mats.extend(parts)
+        mat_kinds.extend(["fb"] * len(parts))
     zmuv = jnp.stack([jnp.float32(zmuv_mean), 1.0 / jnp.float32(zmuv_std)])
 
     row_block = next(bb for bb in (4, 2, 1) if b % bb == 0)
@@ -253,7 +262,7 @@ def log_mel_spectrogram_pallas(
         in_specs=[
             pl.BlockSpec((row_block, fb_block, hop), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((row_block, fb_block, hop), lambda bi, i: (bi, i + 1, 0), memory_space=pltpu.VMEM),
-            *[w_spec if m.shape[0] == hop else fb_spec for m in mats],
+            *[w_spec if kind == "w" else fb_spec for kind in mat_kinds],
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -47,3 +47,23 @@ class ZmuvTransform:
     @classmethod
     def from_state_dict(cls, state: dict) -> "ZmuvTransform":
         return cls(state["mean"], state["mean2"], state["total"])
+
+
+def fit_zmuv(audio_batches, frontend_cfg, max_batches: int = None) -> ZmuvTransform:
+    """Fit a ZmuvTransform over the log-mel features of host audio batches.
+
+    The single home for the fit procedure (ref pretrain_gsc.py:97-106) —
+    train.py, pretrain_gsc, and the sharded seed sweep all sample their own
+    batches but must accumulate statistics identically.
+    """
+    import jax
+
+    from howl_tpu.ops.frontend import log_mel_spectrogram
+
+    zmuv = ZmuvTransform()
+    feat_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
+    for idx, audio in enumerate(audio_batches):
+        if max_batches is not None and idx >= max_batches:
+            break
+        zmuv.update(np.asarray(feat_fn(audio)))
+    return zmuv

@@ -36,4 +36,8 @@ def ctc_loss(
     u = labels.shape[1]
     label_paddings = (jnp.arange(u)[None, :] >= label_lengths[:, None]).astype(jnp.float32)
     per_seq = optax.ctc_loss(logits, logit_paddings, labels, label_paddings, blank_id=blank_id)
-    return per_seq.mean()
+    # torch nn.CTCLoss(reduction='mean') — the reference's loss
+    # (ref train.py:253) — divides each sequence's NLL by its target length
+    # before averaging, so short and long transcripts contribute equal
+    # gradient weight and the tuned LR/decay transfer
+    return (per_seq / jnp.maximum(label_lengths, 1)).mean()

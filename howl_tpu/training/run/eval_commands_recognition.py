@@ -82,15 +82,9 @@ def run(args=None) -> dict:
                     ["--model", model, "--workspace", str(ws), "--num-labels", str(args.num_labels)]
                 )
             accs.append(out["test_acc"])
-        arr = np.asarray(accs)
-        results[model] = {
-            "accuracies": accs,
-            "mean": float(arr.mean()),
-            "std": float(arr.std(ddof=1)) if len(arr) > 1 else 0.0,
-            "p90": float(np.percentile(arr, 90)),
-            "p95": float(np.percentile(arr, 95)),
-            "p99": float(np.percentile(arr, 99)),
-        }
+        from howl_tpu.training.run.eval_wake_word_detection import _percentiles
+
+        results[model] = {"accuracies": accs, **_percentiles(accs)}
         Logger.info(f"{model}: test acc mean={results[model]['mean']:.4f}")
 
     base.mkdir(parents=True, exist_ok=True)

@@ -168,8 +168,7 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
     from howl_tpu.data.transform.batchifier import AudioSequenceBatchifier, WakeWordFrameBatchifier
     from howl_tpu.models import create_model
     from howl_tpu.ops.augment import AugmentConfig
-    from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
-    from howl_tpu.ops.zmuv import ZmuvTransform
+    from howl_tpu.ops.frontend import FrontendConfig
     from howl_tpu.parallel.mesh import make_mesh
     from howl_tpu.parallel.seed_sweep import create_seed_states, make_seed_sweep_step, shard_seed_batch
     from howl_tpu.training.step import (
@@ -241,12 +240,14 @@ def train_seeds_sharded(args, base: Path, seeds) -> None:
         )
 
     # shared ZMUV fit (one model-independent statistic)
-    zmuv = ZmuvTransform()
-    feat_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
+    from howl_tpu.ops.zmuv import fit_zmuv
+
     probe_bf = make_batchifier(seed=0)
     rng = np.random.default_rng(0)
-    for i in rng.permutation(len(ww_train))[:128]:
-        zmuv.update(np.asarray(feat_fn(probe_bf([ww_train[int(i)]]).audio_data)))
+    zmuv = fit_zmuv(
+        (probe_bf([ww_train[int(i)]]).audio_data for i in rng.permutation(len(ww_train))[:128]),
+        frontend_cfg,
+    )
 
     from howl_tpu.models.base import model_spec
 

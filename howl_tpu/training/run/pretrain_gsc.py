@@ -38,14 +38,9 @@ from howl_tpu.workspace import Workspace
 
 def fit_zmuv(sampler, frontend_cfg: FrontendConfig, max_batches: int = 128) -> ZmuvTransform:
     """Fit global mean/std over frontend features (ref pretrain_gsc.py:97-106)."""
-    from howl_tpu.ops.frontend import log_mel_spectrogram
+    from howl_tpu.ops.zmuv import fit_zmuv as _fit
 
-    zmuv = ZmuvTransform()
-    featurize_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
-    for idx, batch in enumerate(sampler):
-        zmuv.update(np.asarray(featurize_fn(batch.audio_data)))
-        if idx + 1 >= max_batches:
-            break
+    zmuv = _fit((batch.audio_data for batch in sampler), frontend_cfg, max_batches=max_batches)
     Logger.info(f"zmuv: mean={zmuv.mean:.4f} std={zmuv.std:.4f}")
     return zmuv
 

@@ -37,7 +37,6 @@ from howl_tpu.models import MODEL_REGISTRY, ConfusionMatrix, create_model
 from howl_tpu.models.base import model_spec
 from howl_tpu.ops.augment import AugmentConfig
 from howl_tpu.ops.frontend import FrontendConfig
-from howl_tpu.ops.zmuv import ZmuvTransform
 from howl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from howl_tpu.settings import SETTINGS
 from howl_tpu.training.state import create_train_state, param_count
@@ -341,16 +340,13 @@ def run(args=None) -> dict:
     frontend_cfg = FrontendConfig.from_settings()
     zmuv = workspace.load_zmuv()
     if zmuv is None:
-        from howl_tpu.ops.frontend import log_mel_spectrogram
+        from howl_tpu.ops.zmuv import fit_zmuv
 
-        zmuv = ZmuvTransform()
-        feat_fn = jax.jit(lambda a: log_mel_spectrogram(a, frontend_cfg, stacked=True))
         rng = np.random.default_rng(0)
         idxs = rng.permutation(len(ww_train))[:256]
-        for i in idxs:
-            sample = ww_train[int(i)]
-            batch = batchifier([sample])
-            zmuv.update(np.asarray(feat_fn(batch.audio_data)))
+        zmuv = fit_zmuv(
+            (batchifier([ww_train[int(i)]]).audio_data for i in idxs), frontend_cfg
+        )
         workspace.save_zmuv(zmuv)
     Logger.info(f"zmuv: mean={zmuv.mean:.4f} std={zmuv.std:.4f}")
 

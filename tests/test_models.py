@@ -174,7 +174,15 @@ def test_converted_static_model(feats):
     model = ConvertedStaticModel(inner=inner, frame_window_size=20, frame_stride_size=10)
     variables = model.init({"params": jax.random.PRNGKey(0)}, feats, train=False)
     out = model.apply(variables, feats, train=False)
-    assert out.shape == ((FRAMES - 20) // 10, BATCH, 2)
+    # full coverage: every complete stride-aligned window, incl. the last
+    assert out.shape == ((FRAMES - 20) // 10 + 1, BATCH, 2)
+    # compute_length agrees with the emitted window count
+    assert int(model.compute_length(jnp.asarray(FRAMES))) == out.shape[0]
+    # too-short clips fail loudly instead of clamp-duplicating frames
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        model.apply(variables, feats[..., :10], train=False)
 
 
 def test_confusion_matrix():
