@@ -1,8 +1,9 @@
 """Live wake-word client (ref: howl/client/howl_client.py:14-164).
 
 Same cadence contract as the reference: 16 kHz mono int16, 500-sample chunks,
-a 16-chunk (500 ms) ring buffer re-scored every 2 chunks (62.5 ms hop),
-duplicate-fire suppression, and user listener callbacks.
+a ring buffer re-scored every 2 chunks (62.5 ms hop), duplicate-fire
+suppression, and user listener callbacks. The ring is sized from the engine's
+scoring window (the reference hardcodes 16 chunks = 500 ms).
 
 The audio source is pluggable: ``MicrophoneAudioSource`` uses pyaudio when
 available (a native PortAudio binding, like the reference); ``FileAudioSource``
@@ -76,7 +77,7 @@ class FileAudioSource:
     def __iter__(self) -> Iterator[bytes]:
         for path in self.paths:
             audio = audio_utils.silent_load(path, self.sample_rate)
-            pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2")
+            pcm = np.clip(audio * 32768.0, -32768, 32767).astype("<i2")
             for start in range(0, len(pcm) - self.chunk_size + 1, self.chunk_size):
                 if self.realtime:
                     time.sleep(self.chunk_size / self.sample_rate)
@@ -108,18 +109,30 @@ class HowlClient:
         self.source = source
         self.chunk_size = chunk_size
         self.listeners: List[Callable] = []
-        self._audio_buf_len = 16  # 16 x 500 samples = 500 ms window
         self._infer_detected = False
         self._running = False
         self.detections = 0
-        # native SPSC ring buffer holds the PCM stream; scoring reads the
-        # trailing window every 2 chunks (62.5 ms hop). Falls back to numpy
-        # when no C++ toolchain is available.
-        from howl_tpu.native import NativeRingBuffer
-
-        self._ring = NativeRingBuffer(capacity=chunk_size * self._audio_buf_len * 4)
+        # the ring is sized lazily from the ENGINE's window (the reference
+        # hardcodes 16 x 500 = 500 ms, howl_client.py:47; a workspace trained
+        # with the default 0.75 s window would then get every scoring window
+        # silently left-padded with 250 ms of fabricated silence)
+        self._ring = None
+        self._audio_buf_len = None
         self._chunks_since_infer = 0
         self._chunks_total = 0
+
+    def _ensure_ring(self):
+        """Create the native SPSC PCM ring once the engine is known: capacity
+        covers the engine's scoring window (falls back to the reference's 16
+        chunks for engines that expose no window). Falls back to numpy when
+        no C++ toolchain is available."""
+        if self._ring is not None:
+            return
+        window = getattr(self.engine, "window_samples", None) or self.chunk_size * 16
+        self._audio_buf_len = max(-(-window // self.chunk_size), 1)
+        from howl_tpu.native import NativeRingBuffer
+
+        self._ring = NativeRingBuffer(capacity=self.chunk_size * self._audio_buf_len * 4)
 
     # ---- construction ----
 
@@ -161,6 +174,7 @@ class HowlClient:
         """Feed one chunk; runs inference every 2 chunks once the buffer fills
         (exact reference cadence, howl_client.py:85-94). Returns True when the
         wakeword fired on this hop."""
+        self._ensure_ring()
         self._ring.push_int16(chunk)
         self._chunks_total += 1
         self._chunks_since_infer += 1
@@ -184,18 +198,24 @@ class HowlClient:
             fired = self.engine.push(self._ring.latest(hop))
         else:
             if self._chunks_total < self._audio_buf_len:
-                return False  # ring still filling to the first 500 ms window
+                return False  # ring still filling to the first full window
             if self._chunks_total > self._audio_buf_len and self._chunks_since_infer < 2:
                 return False  # re-score every 2 chunks (62.5 ms hop)
             self._chunks_since_infer = 0
-            window = self._ring.latest(self.chunk_size * self._audio_buf_len)
-            fired = self.engine.ingest(window)
+            window_samples = getattr(self.engine, "window_samples", self.chunk_size * self._audio_buf_len)
+            fired = self.engine.ingest(self._ring.latest(window_samples))
         if fired:
             if self._infer_detected:
                 return False
             self._infer_detected = True
             self.detections += 1
-            phrase = " ".join(str(self.ctx.vocab[x]) for x in self.engine.cfg.inference_sequence).title()
+            seq = list(self.engine.cfg.inference_sequence)
+            # context is optional (the constructor accepts a bare engine)
+            phrase = (
+                " ".join(str(self.ctx.vocab[x]) for x in seq).title()
+                if self.ctx is not None
+                else f"sequence {seq}"
+            )
             Logger.info(f"{phrase} detected")
             for listener in self.listeners:
                 listener(list(self.engine.cfg.inference_sequence))

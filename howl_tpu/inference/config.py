@@ -72,3 +72,40 @@ class EngineConfig:
         w = np.ones(self.num_labels, np.float32)
         w[: len(self.inference_weights)] = self.inference_weights
         return w
+
+
+def hop_geometry(cfg: "EngineConfig", frontend) -> tuple:
+    """(window_frames, stride_frames, stride_ms): the window/stride quantized
+    to whole mel hops — the single home for the geometry every engine
+    (batched, online, incremental, streaming-trunk) must share. stride_ms is
+    the HOP-QUANTIZED step (62.5 ms at the 63 ms/12.5 ms defaults); sizing
+    smoothing/FSM rings from the raw cfg stride instead would drift the
+    engines apart (documented deviation, engine.py module docstring)."""
+    hop, sr = frontend.hop_length, cfg.sample_rate
+    window_frames = int(cfg.max_window_size_ms / 1000 * sr) // hop + 1
+    stride_frames = max(1, round(cfg.eval_stride_size_ms / 1000 * sr / hop))
+    stride_ms = stride_frames * hop / sr * 1000.0
+    return window_frames, stride_frames, stride_ms
+
+
+def ring_steps(cfg: "EngineConfig", stride_ms: float) -> tuple:
+    """(s_steps, w_steps): smoothing/label ring depths for a given step size."""
+    stride_ms = max(stride_ms, 1e-6)
+    s_steps = max(int(cfg.smoothing_window_ms // stride_ms) + 1, 1)
+    w_steps = max(int(cfg.inference_window_ms // stride_ms) + 1, 1)
+    return s_steps, w_steps
+
+
+def cast_compute_dtype(variables, compute_dtype):
+    """Cast every f32 leaf of a variables tree to the serving compute dtype
+    (shared by all engines; non-f32 leaves — ints, batch-stat counters — are
+    left alone)."""
+    if compute_dtype is None:
+        return variables
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+        variables,
+    )

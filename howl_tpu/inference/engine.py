@@ -79,14 +79,11 @@ class StreamingEngine:
         isolated window's zero padding; train with --fused-trunk (trunk-mode
         context windows) for exact train/serve alignment. Pass
         ``fused_trunk=False`` to force the legacy per-window mega-batch."""
+        from howl_tpu.inference.config import cast_compute_dtype
+
         self.model = model
-        self.variables = variables
+        self.variables = cast_compute_dtype(variables, compute_dtype)
         self.compute_dtype = compute_dtype
-        if compute_dtype is not None:
-            self.variables = jax.tree.map(
-                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
-                variables,
-            )
         self.cfg = cfg
         self.frontend = frontend
         self.zmuv_mean = float(zmuv_mean)
@@ -105,12 +102,11 @@ class StreamingEngine:
         # smoothing tolerance already absorbs that grade of drift), exact
         # HIGHEST otherwise
         self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
-        # window/stride in whole frames (deviation 2 above)
-        hop = frontend.hop_length
-        self.window_frames = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate) // hop + 1
-        stride_samples = cfg.eval_stride_size_ms / 1000 * cfg.sample_rate
-        self.stride_frames = max(1, round(stride_samples / hop))
-        self.stride_ms = self.stride_frames * hop / cfg.sample_rate * 1000.0
+        # window/stride in whole frames (deviation 2 above); single home for
+        # the formulas all four engines share
+        from howl_tpu.inference.config import hop_geometry
+
+        self.window_frames, self.stride_frames, self.stride_ms = hop_geometry(cfg, frontend)
         self.fused_trunk = (
             (self.spec.supports_trunk and not self.spec.is_sequential and not self.spec.is_recurrent)
             if fused_trunk is None
@@ -216,6 +212,23 @@ class StreamingEngine:
         total_frames = self.frontend.num_frames(num_samples)
         return max((total_frames - self.window_frames) // self.stride_frames + 1, 1)
 
+    def _pad_short_clips(self, audio, lengths):
+        """Right-pad clips shorter than one window with silence so the strided
+        window gather never clamp-duplicates frames (JAX clamps out-of-range
+        gather indices, fabricating a window of repeated last frames). The
+        returned true lengths keep the >=1000-real-samples window validity
+        rule (ref inference.py:231-233). Sequential models score per frame
+        and need no padding."""
+        if self.spec.is_sequential:
+            return audio, lengths
+        num = audio.shape[-1]
+        min_samples = (self.window_frames - 1) * self.frontend.hop_length
+        if num >= min_samples:
+            return audio, lengths
+        if lengths is None:
+            lengths = jnp.full((audio.shape[0],), num, jnp.int32)
+        return jnp.pad(audio, ((0, 0), (0, min_samples - num))), lengths
+
     def _step_geometry(self, batch: int, num_samples: int) -> dict:
         """Host-side step timing + ring geometry for one clip shape (cached).
 
@@ -238,16 +251,18 @@ class StreamingEngine:
             t_steps = n_win
             times = np.arange(t_steps) * self.stride_ms
             check_offset_is_stride = True
-        stride = float(times[1] - times[0]) if t_steps > 1 else cfg.eval_stride_size_ms
-        stride = max(stride, 1e-6)
-        check_offset = stride if check_offset_is_stride else 0.0
+        # one home for the smoothing/FSM ring formulas (detect._ring_geometry)
+        # so the fused path and detect_from_scores cannot desynchronize
+        from howl_tpu.inference.detect import _ring_geometry
+
+        _, s_steps, w_steps, stride, check_offset = _ring_geometry(times, cfg, check_offset_is_stride)
         geom = {
             "n_win": n_win,
             "times": times.astype(np.float32),
             "stride": stride,
             "check_offset": check_offset,
-            "s_steps": max(int(cfg.smoothing_window_ms // stride) + 1, 1),
-            "w_steps": max(int((cfg.inference_window_ms - check_offset) // stride) + 1, 1),
+            "s_steps": s_steps,
+            "w_steps": w_steps,
         }
         self._geom_cache[key] = geom
         return geom
@@ -318,6 +333,7 @@ class StreamingEngine:
         model per threshold (ref eval_wake_word_detection.py:241-256).
         """
         audio = jnp.asarray(audio)
+        audio, lengths = self._pad_short_clips(audio, lengths)
         batch, num_samples = audio.shape
         n_win = self.n_windows(num_samples)
         probs = self._score(self.variables, audio, n_win)  # (B, T, L)
@@ -382,6 +398,7 @@ class StreamingEngine:
         """Score B clips and decide at K thresholds, ONE device dispatch total.
         Returns detected (K, B) as a host array."""
         audio = jnp.asarray(audio)
+        audio, lengths = self._pad_short_clips(audio, lengths)
         batch, num_samples = audio.shape
         geom = self._step_geometry(batch, num_samples)
         if lengths is None:
@@ -415,6 +432,7 @@ class StreamingEngine:
         when sweeping thresholds over cached posteriors.
         """
         audio = jnp.asarray(audio)
+        audio, lengths = self._pad_short_clips(audio, lengths)
         batch, num_samples = audio.shape
         geom = self._step_geometry(batch, num_samples)
         if lengths is None:

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.config import EngineConfig, cast_compute_dtype, hop_geometry, ring_steps
 from howl_tpu.inference.detect import DetectState, apply_inference_weights, detect_step, init_state
 from howl_tpu.models.base import ModelSpec, model_spec
 from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
@@ -100,13 +100,8 @@ class OnlineEngine:
         use_pallas_frontend: bool = False,
     ):
         self.model = model
-        self.variables = variables
+        self.variables = cast_compute_dtype(variables, compute_dtype)
         self.compute_dtype = compute_dtype
-        if compute_dtype is not None:
-            self.variables = jax.tree.map(
-                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
-                variables,
-            )
         self.cfg = cfg
         self.frontend = frontend
         self.zmuv_mean = float(zmuv_mean)
@@ -120,9 +115,10 @@ class OnlineEngine:
         self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
         self.num_streams = num_streams
         self.window_samples = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate)
-        stride = cfg.eval_stride_size_ms
-        self._s_steps = max(int(cfg.smoothing_window_ms // max(stride, 1e-6)) + 1, 1)
-        self._w_steps = max(int(cfg.inference_window_ms // max(stride, 1e-6)) + 1, 1)
+        # hop-quantized step like every other engine (the raw cfg stride
+        # would size the rings for 63 ms while the client drives 62.5 ms hops)
+        _, _, self.stride_ms = hop_geometry(cfg, frontend)
+        self._s_steps, self._w_steps = ring_steps(cfg, self.stride_ms)
         self._step = self._build_step()
         self.reset()
 
@@ -141,6 +137,7 @@ class OnlineEngine:
         model, cfg, frontend, spec = self.model, self.cfg, self.frontend, self.spec
         zmuv_mean, zmuv_std = self.zmuv_mean, self.zmuv_std
         use_pallas, compute_dtype, dft_prec = self._use_pallas, self.compute_dtype, self._dft_precision
+        stride_ms = self.stride_ms
 
         @jax.jit
         def step(variables, audio, state: DetectState, t_now, carry):
@@ -160,7 +157,7 @@ class OnlineEngine:
                 feats = feats.astype(compute_dtype)
             return _score_and_detect(
                 model, spec, cfg, variables, feats, state, t_now, carry,
-                check_offset_ms=cfg.eval_stride_size_ms,
+                check_offset_ms=stride_ms,
             )
 
         return step
@@ -189,7 +186,7 @@ class OnlineEngine:
         self.state, label, fired_now, self.carry = self._step(
             self.variables, audio, self.state, jnp.float32(self.curr_time), self.carry
         )
-        self.curr_time += self.cfg.eval_stride_size_ms
+        self.curr_time += self.stride_ms
         return bool(np.asarray(fired_now).any())
 
     def infer(self, window_audio: np.ndarray) -> bool:
@@ -233,13 +230,8 @@ class IncrementalOnlineEngine:
         import dataclasses
 
         self.model = model
-        self.variables = variables
+        self.variables = cast_compute_dtype(variables, compute_dtype)
         self.compute_dtype = compute_dtype
-        if compute_dtype is not None:
-            self.variables = jax.tree.map(
-                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
-                variables,
-            )
         self.cfg = cfg
         self.frontend = frontend
         self.zmuv_mean = float(zmuv_mean)
@@ -253,10 +245,8 @@ class IncrementalOnlineEngine:
         self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
         self.num_streams = num_streams
 
-        hop, n_fft, sr = frontend.hop_length, frontend.n_fft, cfg.sample_rate
-        self.window_frames = int(cfg.max_window_size_ms / 1000 * sr) // hop + 1
-        self.stride_frames = max(1, round(cfg.eval_stride_size_ms / 1000 * sr / hop))
-        self.stride_ms = self.stride_frames * hop / sr * 1000.0
+        hop, n_fft = frontend.hop_length, frontend.n_fft
+        self.window_frames, self.stride_frames, self.stride_ms = hop_geometry(cfg, frontend)
         self.hop_samples = self.stride_frames * hop
         # smallest tail in [n_fft - hop, n_fft) with tail ≡ n_fft//2 (mod hop):
         # exactly stride_frames complete frames per push, on the centered grid
@@ -264,9 +254,7 @@ class IncrementalOnlineEngine:
         self.tail_samples = base + ((n_fft // 2 - base) % hop)
         self._frontend_nc = dataclasses.replace(frontend, center=False)
 
-        stride = self.stride_ms
-        self._s_steps = max(int(cfg.smoothing_window_ms // max(stride, 1e-6)) + 1, 1)
-        self._w_steps = max(int(cfg.inference_window_ms // max(stride, 1e-6)) + 1, 1)
+        self._s_steps, self._w_steps = ring_steps(cfg, self.stride_ms)
         self._step = self._build_step()
         self.reset()
 

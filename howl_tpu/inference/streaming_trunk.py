@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from howl_tpu.inference.config import EngineConfig
+from howl_tpu.inference.config import EngineConfig, cast_compute_dtype, hop_geometry, ring_steps
 from howl_tpu.inference.detect import DetectState, apply_inference_weights, detect_step, init_state
 from howl_tpu.inference.online import _REBASE_AT, _REBASE_DELTA, _rebase_times
 from howl_tpu.models.base import ModelSpec, model_spec
@@ -137,7 +137,12 @@ def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, su
     would hoist the frontend out of the timing chain.
 
     Returns (run, init_carry): ``carry, last_fired = run(variables, buf,
-    *carry)``; carry is (tail, mel_cache, rings, s6_ring, state).
+    *carry)``; carry is (tail, mel_cache, rings, s6_ring, state). The runner
+    assumes a freshly reset() engine and replicates push()'s semantics: hops
+    before the decision lag are pushed with valid=False (their window spans
+    are not final yet) and the FSM clock runs on the window index k = j - lag.
+    It never rebases timestamps, so keep total replayed time under the f32
+    rebase point (~70 min, online._REBASE_AT) or call push() instead.
     """
     period = engine.schedule.period
     if ring_hops % period == 0:
@@ -147,14 +152,13 @@ def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, su
             "the frontend out of the chain"
         )
     n_s = engine.num_streams
+    lag = engine.schedule.lag
     # un-jitted per-phase bodies compose inside the outer jit; push j
     # (1-based) runs phase j % period
     phase_fns = {p: getattr(engine._steps[p], "__wrapped__", engine._steps[p]) for p in engine._steps}
 
     @jax.jit
     def run(variables, buf, tail, mel_cache, rings, s6_ring, state):
-        valid = jnp.full((n_s,), True)
-
         def body(carry, m):
             tail, mel_cache, rings, s6_ring, state = carry
             fired = None
@@ -162,9 +166,10 @@ def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, su
                 j = m * period + 1 + i
                 off = (j % ring_hops) * engine.hop_samples
                 chunk = jax.lax.dynamic_slice(buf, (jnp.int32(0), off), (n_s, engine.hop_samples))
+                t_now = jnp.maximum(j - lag, 0).astype(jnp.float32) * engine.stride_ms
+                valid = jnp.broadcast_to(j >= lag, (n_s,))
                 tail, mel_cache, rings, s6_ring, state, _, fired, _ = phase_fns[(1 + i) % period](
-                    variables, chunk, tail, mel_cache, rings, s6_ring, state,
-                    j.astype(jnp.float32) * engine.stride_ms, valid,
+                    variables, chunk, tail, mel_cache, rings, s6_ring, state, t_now, valid,
                 )
             return (tail, mel_cache, rings, s6_ring, state), fired
 
@@ -204,13 +209,8 @@ class FusedStreamingOnlineEngine:
         import dataclasses
 
         self.model = model
-        self.variables = variables
+        self.variables = cast_compute_dtype(variables, compute_dtype)
         self.compute_dtype = compute_dtype
-        if compute_dtype is not None:
-            self.variables = jax.tree.map(
-                lambda x: x.astype(compute_dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
-                variables,
-            )
         self.cfg = cfg
         self.frontend = frontend
         self.zmuv_mean = float(zmuv_mean)
@@ -228,10 +228,8 @@ class FusedStreamingOnlineEngine:
         self.num_streams = num_streams
         self.prefill_block = max(int(prefill_block), 1)
 
-        hop, n_fft, sr = frontend.hop_length, frontend.n_fft, cfg.sample_rate
-        self.window_frames = int(cfg.max_window_size_ms / 1000 * sr) // hop + 1
-        self.stride_frames = max(1, round(cfg.eval_stride_size_ms / 1000 * sr / hop))
-        self.stride_ms = self.stride_frames * hop / sr * 1000.0
+        hop, n_fft = frontend.hop_length, frontend.n_fft
+        self.window_frames, self.stride_frames, self.stride_ms = hop_geometry(cfg, frontend)
         self.hop_samples = self.stride_frames * hop
         pool_t = getattr(model, "pooling", (3, 4))[0]
         self.span = max(self.window_frames // pool_t, 1)
@@ -253,8 +251,7 @@ class FusedStreamingOnlineEngine:
         self.tail_samples = base + ((n_fft // 2 - base) % hop)
         self._frontend_nc = dataclasses.replace(frontend, center=False)
 
-        self._s_steps = max(int(cfg.smoothing_window_ms // max(self.stride_ms, 1e-6)) + 1, 1)
-        self._w_steps = max(int(cfg.inference_window_ms // max(self.stride_ms, 1e-6)) + 1, 1)
+        self._s_steps, self._w_steps = ring_steps(cfg, self.stride_ms)
         self._steps = {phase: self._build_step(phase) for phase in self.schedule.by_phase}
         self._prefill = self._build_prefill()
         self.reset()

@@ -82,7 +82,7 @@ class NativeRingBuffer:
                 self._handle, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(arr)
             )
         else:
-            self.push_float(arr.astype(np.float32) / 32767.0)
+            self.push_float(arr.astype(np.float32) / 32768.0)
 
     def push_float(self, audio: np.ndarray):
         audio = np.ascontiguousarray(audio, np.float32)
@@ -126,7 +126,7 @@ def pcm_int16_to_float(pcm: bytes) -> np.ndarray:
     arr = np.frombuffer(pcm, dtype="<i2")
     lib = _ensure_built()
     if lib is None:
-        return arr.astype(np.float32) / 32767.0
+        return arr.astype(np.float32) / 32768.0
     out = np.empty(len(arr), np.float32)
     lib.pcm_i16_to_f32(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),

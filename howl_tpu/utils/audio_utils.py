@@ -133,7 +133,10 @@ def wav_num_samples(path: PathLike, target_sr: int = None) -> int:
             n = f.getnframes()
             sr = f.getframerate()
         if target_sr and sr != target_sr:
-            n = int(round(n * target_sr / sr))
+            # ceil, matching scipy resample_poly's output length in
+            # silent_load — round() would undercount by one for some ratios
+            # and disagree with the decoded array
+            n = -(-n * target_sr // sr)
         return n
     except Exception:  # noqa: BLE001
         return silent_load(path, target_sr).shape[-1]

@@ -46,7 +46,7 @@ void ring_destroy(RingBuffer* rb) {
 void ring_push_i16(RingBuffer* rb, const int16_t* pcm, int64_t n) {
     int64_t pos = rb->write_pos.load(std::memory_order_relaxed);
     for (int64_t i = 0; i < n; ++i) {
-        rb->data[(pos + i) % rb->capacity] = static_cast<float>(pcm[i]) / 32767.0f;
+        rb->data[(pos + i) % rb->capacity] = static_cast<float>(pcm[i]) / 32768.0f;
     }
     rb->write_pos.store(pos + n, std::memory_order_release);
 }
@@ -66,23 +66,31 @@ int64_t ring_total_written(const RingBuffer* rb) {
 // copy the most recent `n` samples into `out` (zero-padded on the left when
 // fewer than n samples have been written). Returns samples actually available.
 int64_t ring_latest(const RingBuffer* rb, float* out, int64_t n) {
-    int64_t total = rb->write_pos.load(std::memory_order_acquire);
-    int64_t avail = total < n ? total : n;
-    // only `capacity` samples still exist; older slots have been overwritten
-    if (avail > rb->capacity) avail = rb->capacity;
-    int64_t pad = n - avail;
-    std::memset(out, 0, sizeof(float) * pad);
-    int64_t start = total - avail;
-    for (int64_t i = 0; i < avail; ++i) {
-        out[pad + i] = rb->data[(start + i) % rb->capacity];
+    // seqlock-style read: a single producer may lap into the region being
+    // copied; write_pos doubles as the version — if the producer advanced far
+    // enough during the copy to overwrite [start, total), retry. Writes past
+    // the loaded write_pos are invisible to this read (release/acquire), so
+    // overwrite is the only torn-read hazard.
+    for (;;) {
+        int64_t total = rb->write_pos.load(std::memory_order_acquire);
+        int64_t avail = total < n ? total : n;
+        // only `capacity` samples still exist; older slots have been overwritten
+        if (avail > rb->capacity) avail = rb->capacity;
+        int64_t pad = n - avail;
+        std::memset(out, 0, sizeof(float) * pad);
+        int64_t start = total - avail;
+        for (int64_t i = 0; i < avail; ++i) {
+            out[pad + i] = rb->data[(start + i) % rb->capacity];
+        }
+        int64_t total2 = rb->write_pos.load(std::memory_order_acquire);
+        if (total2 - start <= rb->capacity) return avail;
     }
-    return avail;
 }
 
 // ------------------------------------------------------------- pcm conversion
 
 void pcm_i16_to_f32(const int16_t* in, float* out, int64_t n) {
-    for (int64_t i = 0; i < n; ++i) out[i] = static_cast<float>(in[i]) / 32767.0f;
+    for (int64_t i = 0; i < n; ++i) out[i] = static_cast<float>(in[i]) / 32768.0f;
 }
 
 // ------------------------------------------------------------------ energy VAD

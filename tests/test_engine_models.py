@@ -78,3 +78,22 @@ def test_seq_lstm_whole_clip_engine(rng):
     # second clip: frames past its true length are masked out of decisions
     labels = np.asarray(out["labels"])
     assert (labels[1, 45:] == -1).all()
+
+
+def test_short_clip_padded_not_fabricated(rng):
+    """Clips shorter than one window are right-padded with silence — the
+    window gather must not clamp-duplicate the last frame, and windows with
+    <1000 real samples are invalid (ref inference.py:231-233)."""
+    engine = _engine_for("res8")
+    short = (rng.standard_normal((2, 4800)) * 0.1).astype(np.float32)  # 0.3 s < 0.5 s window
+    out = engine.infer_batch(short)
+    probs = np.asarray(out["probs"])
+    assert probs.shape[1] == 1  # exactly one (padded) window
+    assert np.isfinite(probs).all()
+    # the same clip zero-extended by hand scores identically: proves the
+    # engine padded rather than fabricated frames
+    full = np.zeros((2, (engine.window_frames - 1) * engine.frontend.hop_length), np.float32)
+    full[:, :4800] = short
+    ref = engine.infer_batch(full, lengths=np.array([4800, 4800]))
+    np.testing.assert_allclose(probs, np.asarray(ref["probs"]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["detected"]), np.asarray(ref["detected"]))

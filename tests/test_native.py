@@ -35,7 +35,7 @@ def test_ring_buffer_int16_push():
     pcm = np.array([0, 16384, -16384, 32767], dtype="<i2")
     rb.push_int16(pcm.tobytes())
     out = rb.latest(4)
-    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32767.0, atol=1e-6)
+    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0, atol=1e-6)
 
 
 def test_pcm_conversion_matches_numpy():
@@ -44,7 +44,7 @@ def test_pcm_conversion_matches_numpy():
     rng = np.random.default_rng(0)
     pcm = rng.integers(-32768, 32767, 1000, dtype=np.int16)
     out = pcm_int16_to_float(pcm.astype("<i2").tobytes())
-    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32767.0, atol=1e-6)
+    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0, atol=1e-6)
 
 
 def test_native_vad_matches_python():
