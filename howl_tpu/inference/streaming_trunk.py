@@ -123,6 +123,50 @@ class TrunkSchedule:
         k = j - self.lag
         return (self._p(j) - self.layers) - (self._r(k) + self.span - 1)
 
+    def blocked(self, hop_block: int) -> dict:
+        """Constants for hop-blocked serving: process ``hop_block`` hops per
+        device step. hop_block must be a multiple of ``period`` so every block
+        sees the same phase pattern — ONE jitted program, and the full-delta
+        ring ingest amortizes the per-hop ring rewrite (the HBM bound measured
+        in tools/ablate_trunk_step.py) over the whole block.
+
+        Returns dict with: delta (new pooled frames per block == n_new),
+        slab_frames, slab_start, mel_cache_len, gaps (per in-block hop, vs the
+        block-end frontier), s6_ring_len. Decision semantics per hop are
+        unchanged; the host just observes each hop's fire at its block end
+        (worst-case lag + hop_block - 1 hops)."""
+        H = int(hop_block)
+        if H < 1 or H % self.period:
+            raise ValueError(
+                f"hop_block={H} must be a positive multiple of the schedule "
+                f"period ({self.period}) so every block shares one phase pattern"
+            )
+        delta = self.S * H // self.P
+        slab_frames = delta * self.P + 2
+        jE0 = ((self.lag // H) + 2) * H  # steady-state, phase-aligned block end
+        tail_off = self._slab_tail_off(jE0)
+        gaps = tuple(
+            (self._p(jE0) - self.layers) - (self._r(jE0 - H + h - self.lag) + self.span - 1)
+            for h in range(1, H + 1)
+        )
+        mel_cache_len = slab_frames + tail_off
+        # the single phase pattern must actually repeat block to block
+        for jE in range(jE0 + H, jE0 + 6 * H, H):
+            assert self._p(jE) - self._p(jE - H) == delta, f"aperiodic block delta at {jE}"
+            assert self._slab_tail_off(jE) == tail_off, f"aperiodic slab offset at {jE}"
+            for h in range(1, H + 1):
+                g = (self._p(jE) - self.layers) - (self._r(jE - H + h - self.lag) + self.span - 1)
+                assert g == gaps[h - 1], f"aperiodic gap at block end {jE}, hop {h}"
+        return {
+            "hop_block": H,
+            "delta": delta,
+            "slab_frames": slab_frames,
+            "slab_start": 0,  # mel cache is exactly [slab | tail_off newest]
+            "mel_cache_len": mel_cache_len,
+            "gaps": gaps,
+            "s6_ring_len": self.span + max(gaps),
+        }
+
 
 def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, super_steps: int):
     """Jitted bulk runner: push ``super_steps * schedule.period`` hops through
@@ -145,14 +189,46 @@ def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, su
     rebase point (~70 min, online._REBASE_AT) or call push() instead.
     """
     period = engine.schedule.period
+    n_s = engine.num_streams
+    lag = engine.schedule.lag
+    if engine.hop_block > 1:
+        # blocked engine: one scan iteration = one block = hop_block hops
+        # (super_steps counts BLOCKS here). Offsets vary per iteration, so any
+        # ring_hops >= 2 is hoist-proof.
+        if ring_hops < 2:
+            raise ValueError("ring_hops must be >= 2 so chunk slices vary per block")
+        H = engine.hop_block
+        block_samples = H * engine.hop_samples
+        step_fn = getattr(engine._block_step, "__wrapped__", engine._block_step)
+
+        @jax.jit
+        def run_blocked(variables, buf, tail, mel_cache, rings, s6_ring, state):
+            def body(carry, m):
+                tail, mel_cache, rings, s6_ring, state = carry
+                off = (m % ring_hops) * block_samples
+                chunk = jax.lax.dynamic_slice(buf, (jnp.int32(0), off), (n_s, block_samples))
+                k0 = m * H + 1 - lag
+                t_base = k0.astype(jnp.float32) * engine.stride_ms
+                tail, mel_cache, rings, s6_ring, state, _, fireds, _ = step_fn(
+                    variables, chunk, tail, mel_cache, rings, s6_ring, state, k0, t_base,
+                )
+                return (tail, mel_cache, rings, s6_ring, state), fireds[:, -1]
+
+            carry, fireds = jax.lax.scan(
+                body, (tail, mel_cache, rings, s6_ring, state),
+                jnp.arange(super_steps, dtype=jnp.int32),
+            )
+            return carry, fireds[-1]
+
+        init = (engine.tail, engine.mel_cache, engine.rings, engine.s6_ring, engine.state)
+        return run_blocked, init
+
     if ring_hops % period == 0:
         raise ValueError(
             f"ring_hops={ring_hops} is a multiple of the schedule period "
             f"({period}): chunk slices become loop-invariant and XLA hoists "
             "the frontend out of the chain"
         )
-    n_s = engine.num_streams
-    lag = engine.schedule.lag
     # un-jitted per-phase bodies compose inside the outer jit; push j
     # (1-based) runs phase j % period
     phase_fns = {p: getattr(engine._steps[p], "__wrapped__", engine._steps[p]) for p in engine._steps}
@@ -191,6 +267,14 @@ class FusedStreamingOnlineEngine:
     is bit-for-bit the offline fused-trunk path up to f32 summation order
     (tests/test_streaming_trunk.py asserts per-window posterior agreement and
     identical decisions against StreamingEngine.score_batch).
+
+    ``hop_block=H`` (a multiple of ``schedule.period``) switches to blocked
+    serving: push() takes H hops of audio and scores all H windows in ONE
+    device step — identical per-hop decisions, observed at the block boundary
+    (worst case ``lag + H - 1`` hops after the causing audio). Blocking
+    amortizes the per-hop stage-ring rewrite (the measured HBM bound,
+    tools/ablate_trunk_step.py) over H hops and makes the conv GEMMs H x
+    larger, trading bounded extra observation latency for throughput.
     """
 
     def __init__(
@@ -205,6 +289,7 @@ class FusedStreamingOnlineEngine:
         num_streams: int = 1,
         compute_dtype=None,
         prefill_block: int = 8192,
+        hop_block: int = 1,
     ):
         import dataclasses
 
@@ -238,21 +323,49 @@ class FusedStreamingOnlineEngine:
         # frame i spans [i*hop - n_fft/2, i*hop + n_fft/2))
         self.m0 = (self.window_frames * hop - n_fft // 2) // hop + 1
         self.schedule = TrunkSchedule(self.m0, self.stride_frames, pool_t, self.span)
-        # prefill needs every stage ring to fit inside the preroll window:
-        # the deepest cache reaches back to stem frame p0 - 5 - (n_new + 1)
+        self.hop_block = int(hop_block)
         p0 = (self.m0 - 1 - pool_t) // pool_t
-        if p0 - 5 - (self.schedule.n_new + 1) < 0:
-            raise ValueError(
-                f"window too short for the streaming trunk: {self.m0} prefill mel frames "
-                f"give only {p0 + 1} pooled frames; need >= {7 + self.schedule.n_new}"
-            )
+        if self.hop_block == 1:
+            self._ring_frames = self.schedule.n_new + 2
+            self._s6_ring_len = self.schedule.s6_ring_len
+            self._mel_cache_len = self.schedule.mel_cache_len
+            # prefill needs every stage ring to fit inside the preroll window:
+            # the deepest cache reaches back to stem frame p0 - 5 - (n_new + 1)
+            if p0 - 5 - (self.schedule.n_new + 1) < 0:
+                raise ValueError(
+                    f"window too short for the streaming trunk: {self.m0} prefill mel frames "
+                    f"give only {p0 + 1} pooled frames; need >= {7 + self.schedule.n_new}"
+                )
+        else:
+            self.block = self.schedule.blocked(self.hop_block)
+            self._ring_frames = self.block["delta"] + 2
+            self._s6_ring_len = self.block["s6_ring_len"]
+            self._mel_cache_len = self.block["mel_cache_len"]
+            # every block ingests a full ring of new frames (delta == n_new),
+            # so only each stage's 2 newest prefill frames are ever read —
+            # deeper ring slots are zero-padded. The deepest real need is
+            # stage s5's newest 2 frames (stem frames p0-6, p0-5).
+            if p0 - 6 < 0:
+                raise ValueError(
+                    f"window too short for the streaming trunk: {self.m0} prefill mel "
+                    f"frames give only {p0 + 1} pooled frames; need >= 8"
+                )
+            if self._mel_cache_len > self.m0:
+                raise ValueError(
+                    f"hop_block={self.hop_block} needs a {self._mel_cache_len}-frame mel "
+                    f"cache but the {self.window_frames}-frame window prefills only "
+                    f"{self.m0}; use a smaller hop_block or a longer window"
+                )
         # same centered-grid audio tail as IncrementalOnlineEngine
         base = n_fft - hop
         self.tail_samples = base + ((n_fft // 2 - base) % hop)
         self._frontend_nc = dataclasses.replace(frontend, center=False)
 
         self._s_steps, self._w_steps = ring_steps(cfg, self.stride_ms)
-        self._steps = {phase: self._build_step(phase) for phase in self.schedule.by_phase}
+        if self.hop_block == 1:
+            self._steps = {phase: self._build_step(phase) for phase in self.schedule.by_phase}
+        else:
+            self._block_step = self._build_block_step()
         self._prefill = self._build_prefill()
         self.reset()
 
@@ -314,6 +427,9 @@ class FusedStreamingOnlineEngine:
         model = self.model
         layers = sched.layers
         dtype = self.compute_dtype
+        ring_frames, s6_ring_len, mel_cache_len = (
+            self._ring_frames, self._s6_ring_len, self._mel_cache_len,
+        )
 
         @jax.jit
         def prefill(variables, preroll):
@@ -328,16 +444,24 @@ class FusedStreamingOnlineEngine:
                 ("r2", p0 - 2),
                 ("r4", p0 - 4),
             ]:
-                lo = frontier - (sched.n_new + 2) + 1
-                rings[name] = outs[name][:, lo : frontier + 1]
+                lo = frontier - ring_frames + 1
+                seg = outs[name][:, max(lo, 0) : frontier + 1]
+                if lo < 0:
+                    # hop-blocked rings can be deeper than the preroll trunk;
+                    # the padded slots are dropped by the first full-delta
+                    # ingest before anything reads them (__init__ guards the
+                    # 2 genuinely-read newest frames exist)
+                    pad = jnp.zeros(seg.shape[:1] + (-lo,) + seg.shape[2:], seg.dtype)
+                    seg = jnp.concatenate([pad, seg], axis=1)
+                rings[name] = seg
             s6_means = outs["s6"].astype(jnp.float32).mean(axis=2)  # (B, T6, maps)
             newest = p0 - layers
             have = newest + 1
-            take = min(have, sched.s6_ring_len)
-            s6_ring = jnp.zeros((preroll.shape[0], sched.s6_ring_len, s6_means.shape[-1]), jnp.float32)
+            take = min(have, s6_ring_len)
+            s6_ring = jnp.zeros((preroll.shape[0], s6_ring_len, s6_means.shape[-1]), jnp.float32)
             s6_ring = s6_ring.at[:, -take:].set(s6_means[:, newest + 1 - take : newest + 1])
             # mel cache: newest mel_cache_len ZMUV'd frames, time-major
-            mel_cache = feats_ft[:, :, -sched.mel_cache_len :].swapaxes(1, 2)  # (B, Tc, F)
+            mel_cache = feats_ft[:, :, -mel_cache_len:].swapaxes(1, 2)  # (B, Tc, F)
             tail = preroll[:, -self.tail_samples :]
             return mel_cache, rings, s6_ring, tail
 
@@ -380,11 +504,71 @@ class FusedStreamingOnlineEngine:
 
         return step
 
+    def _build_block_step(self):
+        from howl_tpu.ops.frontend import log_mel_spectrogram as _logmel
+
+        blk = self.block
+        H = self.hop_block
+        delta, slab_start, gaps = blk["delta"], blk["slab_start"], blk["gaps"]
+        slab_frames, cache_len = blk["slab_frames"], blk["mel_cache_len"]
+        model, cfg = self.model, self.cfg
+        stride_ms = self.stride_ms
+        zmuv_mean, zmuv_std = self.zmuv_mean, self.zmuv_std
+        frontend_nc, dft_prec, dtype = self._frontend_nc, self._dft_precision, self.compute_dtype
+        span, ring_len, tail_len = self.span, self._s6_ring_len, self.tail_samples
+
+        @jax.jit
+        def step(variables, new_audio, tail, mel_cache, rings, s6_ring, state: DetectState, k0, t_base):
+            buf = jnp.concatenate([tail, new_audio], axis=-1)
+            mels = _logmel(buf, frontend_nc, precision=dft_prec)  # (B, F, H*stride_frames)
+            mels = ((mels - zmuv_mean) / zmuv_std).swapaxes(1, 2)
+            # the block's mel shift can exceed the cache length; keep newest
+            mel_cache = jnp.concatenate([mel_cache, mels], axis=1)[:, -cache_len:]
+            slab = mel_cache[:, slab_start : slab_start + slab_frames][..., None]
+            if dtype is not None:
+                slab = slab.astype(dtype)
+            # ONE trunk call for the whole block: delta == ring capacity, so
+            # the per-hop ring rewrite (the measured HBM bound) is paid once
+            # per H hops and the conv GEMMs are H x chunkier
+            rings, s6_new = model.apply(variables, slab, rings, delta, method="trunk_stream_step")
+            s6_ring = jnp.concatenate([s6_ring[:, delta:], s6_new], axis=1)
+            wmeans = jnp.stack(
+                [s6_ring[:, ring_len - g - span : ring_len - g].mean(axis=1) for g in gaps],
+                axis=1,
+            )  # (B, H, maps) f32
+            logits = model.apply(variables, wmeans, method="head")
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            probs = apply_inference_weights(probs, cfg)
+            labels, fireds = [], []
+            for h in range(H):  # per-hop FSM, same semantics as per-hop serving
+                valid_h = jnp.broadcast_to(k0 + h >= 0, probs.shape[:1])
+                state, lab, fired = detect_step(
+                    state, probs[:, h], t_base + h * stride_ms, valid_h, cfg,
+                    check_offset_ms=stride_ms,
+                )
+                labels.append(lab)
+                fireds.append(fired)
+            return (
+                buf[..., -tail_len:], mel_cache, rings, s6_ring, state,
+                jnp.stack(labels, axis=1), jnp.stack(fireds, axis=1), probs,
+            )
+
+        return step
+
     # ---- public API ----
 
     def push(self, new_audio: np.ndarray) -> bool:
-        """Feed each stream's newest hop_samples; True if the wakeword fired
-        for the window ``schedule.lag`` hops back (the newest final window)."""
+        """Feed each stream's newest audio; True if the wakeword fired for any
+        newly-final window.
+
+        Per-hop mode (hop_block=1): expects (num_streams, hop_samples); the
+        returned flag covers the window ``schedule.lag`` hops back. Blocked
+        mode: expects (num_streams, hop_block * hop_samples); the flag covers
+        the block's ``hop_block`` windows (last_fired is (B, hop_block)) —
+        per-hop decisions are identical, just observed at the block boundary
+        (worst-case lag + hop_block - 1 hops after the causing audio)."""
+        if self.hop_block > 1:
+            return self._push_block(new_audio)
         audio = np.asarray(new_audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
@@ -409,3 +593,32 @@ class FusedStreamingOnlineEngine:
         if emitting:
             self.curr_time += self.stride_ms
         return bool(np.asarray(fired_now).any())
+
+    def _push_block(self, new_audio: np.ndarray) -> bool:
+        H = self.hop_block
+        audio = np.asarray(new_audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        want = (self.num_streams, H * self.hop_samples)
+        if audio.shape != want:
+            raise ValueError(f"push expects {want} (hop_block={H}), got {audio.shape}")
+        k0 = self._j + 1 - self.schedule.lag  # window index of this block's first hop
+        self._j += H
+        if self.curr_time >= _REBASE_AT:
+            self.state = _rebase_times(self.state, _REBASE_DELTA)
+            self.curr_time -= _REBASE_DELTA
+        # hops before the lag are pushed with valid=False; their (negative)
+        # timestamps are never recorded. curr_time tracks valid hops only, so
+        # the first valid hop's time lines up at curr_time exactly.
+        t_base = self.curr_time + min(k0, 0) * self.stride_ms
+        (
+            self.tail, self.mel_cache, self.rings, self.s6_ring,
+            self.state, self.last_labels, fireds, self.last_probs,
+        ) = self._block_step(
+            self.variables, audio, self.tail, self.mel_cache, self.rings, self.s6_ring,
+            self.state, jnp.int32(k0), jnp.float32(t_base),
+        )
+        self.last_fired = fireds  # (B, H), hop h decides window k0 + h
+        n_valid = max(0, k0 + H) - max(0, k0)
+        self.curr_time += n_valid * self.stride_ms
+        return bool(np.asarray(fireds).any())

@@ -208,3 +208,133 @@ def test_blocked_prefill_matches_single_block(rng):
     np.testing.assert_allclose(
         np.asarray(one.last_probs), np.asarray(blocked.last_probs), rtol=1e-4, atol=1e-5
     )
+
+
+def _run_blocked(offline, blocked, rng, n_hops, amp=0.3):
+    """Offline clip scoring vs hop-blocked streaming pushes of the same audio."""
+    n = blocked.num_streams
+    hop = blocked.hop_samples
+    H = blocked.hop_block
+    assert n_hops % H == 0
+    preroll = np.zeros((n, blocked.window_frames * blocked.frontend.hop_length), np.float32)
+    hops = (rng.standard_normal((n_hops, n, hop)) * amp).astype(np.float32)
+
+    clip = np.concatenate([preroll] + [hops[j] for j in range(n_hops)], axis=1)
+    out = offline.infer_batch(clip)
+    off = (np.asarray(out["probs"]), np.asarray(out["labels"]), np.asarray(out["fired"]))
+
+    lag = blocked.schedule.lag
+    st_probs, st_labels, st_fired = {}, {}, {}
+    for b in range(n_hops // H):
+        block_audio = np.concatenate([hops[b * H + i] for i in range(H)], axis=1)
+        blocked.push(block_audio)
+        probs = np.asarray(blocked.last_probs)  # (n, H, L)
+        labels = np.asarray(blocked.last_labels)  # (n, H)
+        fireds = np.asarray(blocked.last_fired)  # (n, H)
+        k0 = b * H + 1 - lag
+        for h in range(H):
+            k = k0 + h
+            if k >= 0:
+                st_probs[k] = probs[:, h]
+                st_labels[k] = labels[:, h]
+                st_fired[k] = fireds[:, h]
+    return off, (st_probs, st_labels, st_fired)
+
+
+@pytest.mark.parametrize("blocks_of_period", [1, 2])
+def test_hop_blocked_matches_offline(rng, blocks_of_period):
+    """hop_block = period and 2*period: per-window posteriors, labels, and
+    fire decisions identical to the offline fused-trunk clip scoring (and
+    hence to per-hop streaming, which is tested against the same oracle)."""
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+    cfg, frontend, offline, perhop = _build()
+    H = perhop.schedule.period * blocks_of_period
+    blocked = FusedStreamingOnlineEngine(
+        perhop.model, perhop.variables, cfg, frontend, spec=perhop.spec,
+        num_streams=perhop.num_streams, hop_block=H,
+    )
+    n_hops = 24
+    off, st = _run_blocked(offline, blocked, rng, n_hops=n_hops)
+    _compare(off, st, n_compare=n_hops - blocked.schedule.lag - 2)
+
+
+@pytest.mark.slow
+def test_hop_blocked_bf16(rng):
+    """bf16 blocked serving matches the offline bf16 fused engine."""
+    import jax.numpy as jnp
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+    cfg, frontend, offline, perhop = _build(compute_dtype=jnp.bfloat16)
+    H = 2 * perhop.schedule.period
+    blocked = FusedStreamingOnlineEngine(
+        perhop.model, perhop.variables, cfg, frontend, spec=perhop.spec,
+        num_streams=perhop.num_streams, compute_dtype=jnp.bfloat16, hop_block=H,
+    )
+    n_hops = 18
+    off, st = _run_blocked(offline, blocked, rng, n_hops=n_hops)
+    _compare(off, st, n_compare=n_hops - blocked.schedule.lag - 2, atol=1e-4)
+
+
+def test_hop_blocked_fires_like_offline(rng):
+    """A firing stream: blocked decisions line up hop for hop."""
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+    cfg, frontend, offline, perhop = _build(
+        cfg_overrides={"inference_sequence": (0,), "inference_threshold": 0.0}
+    )
+    H = perhop.schedule.period
+    blocked = FusedStreamingOnlineEngine(
+        perhop.model, perhop.variables, cfg, frontend, spec=perhop.spec,
+        num_streams=perhop.num_streams, hop_block=H,
+    )
+    n_hops = 21
+    off, st = _run_blocked(offline, blocked, rng, n_hops=n_hops, amp=0.5)
+    assert np.asarray(off[2]).any()
+    _compare(off, st, n_compare=n_hops - blocked.schedule.lag - 2)
+
+
+def test_hop_blocked_validation():
+    """Non-multiple-of-period hop_block and cache-overflowing hop_block raise."""
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+    cfg, frontend, _, perhop = _build()
+    period = perhop.schedule.period
+    with pytest.raises(ValueError, match="multiple of the schedule period"):
+        FusedStreamingOnlineEngine(
+            perhop.model, perhop.variables, cfg, frontend, spec=perhop.spec,
+            hop_block=period + 1,
+        )
+    with pytest.raises(ValueError, match="mel"):
+        FusedStreamingOnlineEngine(
+            perhop.model, perhop.variables, cfg, frontend, spec=perhop.spec,
+            hop_block=period * 4,
+        )
+
+
+def test_hop_blocked_chained_runner_matches_push(rng):
+    """make_chained_runner on a blocked engine reproduces push() exactly."""
+    from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine, make_chained_runner
+
+    cfg, frontend, _, perhop = _build(
+        cfg_overrides={"inference_sequence": (0,), "inference_threshold": 0.0}
+    )
+    H = perhop.schedule.period
+    mk = lambda: FusedStreamingOnlineEngine(  # noqa: E731
+        perhop.model, perhop.variables, cfg, frontend, spec=perhop.spec,
+        num_streams=2, hop_block=H,
+    )
+    eng_push, eng_run = mk(), mk()
+    ring_hops, n_blocks = 5, 10
+    block_samples = H * eng_push.hop_samples
+    buf = (rng.standard_normal((2, ring_hops * block_samples)) * 0.4).astype(np.float32)
+
+    run, chain = make_chained_runner(eng_run, ring_hops, n_blocks)
+    _, last_fired = run(eng_run.variables, jax.numpy.asarray(buf), *chain)
+
+    fired = None
+    for b in range(n_blocks):
+        off = (b % ring_hops) * block_samples
+        eng_push.push(buf[:, off : off + block_samples])
+        fired = np.asarray(eng_push.last_fired)[:, -1]
+    np.testing.assert_array_equal(np.asarray(last_fired), fired)
