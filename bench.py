@@ -31,7 +31,11 @@ object also carries:
   * ``online_streams_per_chip_trunk`` / ``online_step_latency_ms_trunk`` —
     the streaming-trunk engine (per-layer conv caches compute only each
     hop's newly-final trunk frames, inference/streaming_trunk.py): the
-    highest-capacity serving path, measured at 16k/64k streams.
+    highest-capacity per-hop serving path, measured at 16k/64k streams.
+  * ``..._trunk_blocked`` — the hop-blocked trunk engine (hop_block=period
+    hops per device step; amortizes the per-hop ring rewrite): identical
+    per-hop decisions with +period-1 hops of observation lag; latencies are
+    normalized PER HOP for comparability.
 """
 
 from __future__ import annotations
@@ -379,7 +383,9 @@ def main():
     trunk_k = 11 if on_tpu else 2  # super-steps per sample (steps = k * period)
     trunk_m = 8 if on_tpu else 2
     online_step_latency_ms_trunk = {}
+    online_step_latency_ms_trunk_blocked = {}
     trunk_streams = 0.0
+    trunk_blocked_streams = 0.0
     for n_s in trunk_counts:
         teng = FusedStreamingOnlineEngine(
             model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
@@ -392,7 +398,7 @@ def main():
         tbuf = jax.device_put(
             (rng.standard_normal((n_s, t_ring_hops * teng.hop_samples)) * 0.1).astype(np.float32)
         )
-        run_trunk, chain = make_chained_runner(teng, t_ring_hops, trunk_k)
+        run_trunk, chain = make_chained_runner(teng, t_ring_hops, trunk_k, donate=True)
         chain, fired = run_trunk(teng.variables, tbuf, *chain)
         _ = np.asarray(fired)  # compile + warmup
         n_steps = trunk_k * period
@@ -408,6 +414,37 @@ def main():
         }
         med_s = float(np.percentile(samples, 50)) / 1000.0  # s per n_s-stream step
         trunk_streams = max(trunk_streams, n_s / (med_s * (1000.0 / 62.5)))
+
+        # hop-blocked variant (hop_block=period): one device step scores a
+        # whole block of hops — the full-delta ring ingest amortizes the
+        # per-hop ring rewrite (the measured HBM bound). Same per-hop
+        # decisions, observed at the block boundary (+period-1 hops lag).
+        del run_trunk, chain, tbuf, teng  # free before the second engine
+        beng = FusedStreamingOnlineEngine(
+            model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
+            num_streams=n_s, compute_dtype=compute_dtype, hop_block=period,
+        )
+        block_samples = period * beng.hop_samples
+        bbuf = jax.device_put(
+            (rng.standard_normal((n_s, 2 * block_samples)) * 0.1).astype(np.float32)
+        )
+        run_blk, chain = make_chained_runner(beng, 2, trunk_k, donate=True)  # trunk_k BLOCKS
+        chain, fired = run_blk(beng.variables, bbuf, *chain)
+        _ = np.asarray(fired)  # compile + warmup
+        samples = []
+        for _rep in range(trunk_m):
+            t0 = time.perf_counter()
+            chain, fired = run_blk(beng.variables, bbuf, *chain)
+            _ = np.asarray(fired)
+            samples.append((time.perf_counter() - t0) / n_steps * 1000.0)  # ms PER HOP
+        online_step_latency_ms_trunk_blocked[str(n_s)] = {
+            "p50": round(float(np.percentile(samples, 50)), 3),
+            "p99": round(float(np.percentile(samples, 99)), 3),
+            "hop_block": period,
+        }
+        med_s = float(np.percentile(samples, 50)) / 1000.0
+        trunk_blocked_streams = max(trunk_blocked_streams, n_s / (med_s * (1000.0 / 62.5)))
+        del run_blk, chain, bbuf, beng
 
     # ---- training throughput + MFU at the documented bf16 batch-1024 config
     train_examples_per_sec, train_mfu = bench_train_step(on_tpu)
@@ -426,6 +463,8 @@ def main():
                 "online_step_latency_ms": online_step_latency_ms,
                 "online_streams_per_chip_trunk": int(trunk_streams),
                 "online_step_latency_ms_trunk": online_step_latency_ms_trunk,
+                "online_streams_per_chip_trunk_blocked": int(trunk_blocked_streams),
+                "online_step_latency_ms_trunk_blocked": online_step_latency_ms_trunk_blocked,
                 "train_examples_per_sec": round(train_examples_per_sec, 1),
                 "train_mfu": round(train_mfu, 4),
             }

@@ -39,6 +39,7 @@ def load_workspace_engine(
     num_streams: int = 1,
     incremental: bool = False,
     streaming_trunk: bool = False,
+    hop_block: int = 1,
 ) -> Tuple[OnlineEngine, InferenceContext]:
     """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84).
 
@@ -48,7 +49,10 @@ def load_workspace_engine(
     (res8-family only) returns a FusedStreamingOnlineEngine: per-layer trunk
     caches compute only each hop's new trunk frames — the cheapest per-step
     path, scoring exactly like the offline fused-trunk engine, with a
-    ``schedule.lag``-hop (250 ms at defaults) decision delay."""
+    ``schedule.lag``-hop (250 ms at defaults) decision delay. ``hop_block>1``
+    (streaming_trunk only, a multiple of the engine's schedule period) scores
+    that many hops per device step — same per-hop decisions, observed at the
+    block boundary; the bulk/capacity serving mode."""
     workspace = Workspace(Path(workspace_path), delete_existing=False)
     settings = workspace.load_settings(SETTINGS)
 
@@ -104,6 +108,11 @@ def load_workspace_engine(
         from howl_tpu.inference.online import IncrementalOnlineEngine
 
         engine_cls = IncrementalOnlineEngine
+    extra = {}
+    if hop_block != 1:
+        if not streaming_trunk:
+            raise ValueError("hop_block requires streaming_trunk=True")
+        extra["hop_block"] = hop_block
     engine = engine_cls(
         model,
         variables,
@@ -113,6 +122,7 @@ def load_workspace_engine(
         zmuv.std,
         spec=spec,
         num_streams=num_streams,
+        **extra,
     )
     return engine, ctx
 

@@ -27,6 +27,7 @@ phase with the schedule constants static, so there is no traced control flow.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import jax
@@ -168,7 +169,9 @@ class TrunkSchedule:
         }
 
 
-def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, super_steps: int):
+def make_chained_runner(
+    engine: "FusedStreamingOnlineEngine", ring_hops: int, super_steps: int, donate: bool = False
+):
     """Jitted bulk runner: push ``super_steps * schedule.period`` hops through
     the engine as ONE on-device ``lax.scan`` (state-serialized, one fetch) —
     the honest way to benchmark or bulk-replay through a high-latency relay
@@ -187,6 +190,11 @@ def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, su
     are not final yet) and the FSM clock runs on the window index k = j - lag.
     It never rebases timestamps, so keep total replayed time under the f32
     rebase point (~70 min, online._REBASE_AT) or call push() instead.
+
+    ``donate=True`` donates the carry buffers to the jitted program (the
+    output carry reuses their memory — halves the chain's peak HBM at large
+    stream counts). The FIRST call consumes the engine's own state arrays, so
+    after a donating run the engine must be reset() before push() is used.
     """
     period = engine.schedule.period
     n_s = engine.num_streams
@@ -200,8 +208,9 @@ def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, su
         H = engine.hop_block
         block_samples = H * engine.hop_samples
         step_fn = getattr(engine._block_step, "__wrapped__", engine._block_step)
+        jit = jax.jit if not donate else partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
 
-        @jax.jit
+        @jit
         def run_blocked(variables, buf, tail, mel_cache, rings, s6_ring, state):
             def body(carry, m):
                 tail, mel_cache, rings, s6_ring, state = carry
@@ -232,8 +241,9 @@ def make_chained_runner(engine: "FusedStreamingOnlineEngine", ring_hops: int, su
     # un-jitted per-phase bodies compose inside the outer jit; push j
     # (1-based) runs phase j % period
     phase_fns = {p: getattr(engine._steps[p], "__wrapped__", engine._steps[p]) for p in engine._steps}
+    jit = jax.jit if not donate else partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
 
-    @jax.jit
+    @jit
     def run(variables, buf, tail, mel_cache, rings, s6_ring, state):
         def body(carry, m):
             tail, mel_cache, rings, s6_ring, state = carry

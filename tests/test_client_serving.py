@@ -181,3 +181,23 @@ def test_client_with_streaming_trunk_engine(trained_workspace, monkeypatch):
     )
     client2.start().join()
     assert client2.detections == 0
+
+
+@pytest.mark.slow
+def test_hub_hop_block_passthrough(trained_workspace, monkeypatch):
+    """load_workspace_engine(hop_block=N) builds a blocked trunk engine; the
+    flag is rejected for non-trunk engines."""
+    ws, _corpus, env = trained_workspace
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.hub import load_workspace_engine
+
+    engine, _ctx = load_workspace_engine(ws, "res8", streaming_trunk=True)
+    period = engine.schedule.period
+    blocked, _ctx = load_workspace_engine(ws, "res8", streaming_trunk=True, hop_block=period)
+    assert blocked.hop_block == period
+    with pytest.raises(ValueError, match="streaming_trunk"):
+        load_workspace_engine(ws, "res8", hop_block=period)

@@ -102,6 +102,43 @@ def test_streaming_trunk_sharded_streams(rng):
     )
 
 
+@pytest.mark.slow
+def test_hop_blocked_trunk_sharded_streams(rng):
+    """shard_streams on a hop-blocked trunk engine: the deeper blocked rings
+    shard the same way, and blocked steps keep the placement + match an
+    unsharded blocked engine exactly."""
+    from howl_tpu.inference import FusedStreamingOnlineEngine
+    from howl_tpu.models.base import model_spec
+    from howl_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) >= 8
+    cfg, frontend, model, variables = _setup(rng)
+
+    mk = lambda: FusedStreamingOnlineEngine(  # noqa: E731
+        model, variables, cfg, frontend, spec=model_spec("res8"), num_streams=16, hop_block=3
+    )
+    base, sharded = mk(), mk()
+    H = base.hop_block
+    mesh = make_mesh(data=8)
+    sharded.shard_streams(mesh)
+    assert len(sharded.mel_cache.sharding.device_set) == 8
+
+    audio = (rng.standard_normal((16, base.hop_samples * 4 * H)) * 0.1).astype(np.float32)
+    block = H * base.hop_samples
+    for b in range(4):
+        chunk = audio[:, b * block : (b + 1) * block]
+        fa = base.push(chunk)
+        fb = sharded.push(chunk)
+        assert fa == fb
+        np.testing.assert_array_equal(
+            np.asarray(base.last_fired), np.asarray(sharded.last_fired)
+        )
+    assert len(sharded.mel_cache.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(base.last_probs), np.asarray(sharded.last_probs), atol=1e-5
+    )
+
+
 def test_shard_streams_uneven_count_rejected(rng):
     from howl_tpu.inference.online import OnlineEngine
     from howl_tpu.models.base import model_spec
