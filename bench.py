@@ -429,6 +429,7 @@ def main():
             (rng.standard_normal((n_s, 2 * block_samples)) * 0.1).astype(np.float32)
         )
         run_blk, chain = make_chained_runner(beng, 2, trunk_k, donate=True)  # trunk_k BLOCKS
+        blk_hops = trunk_k * beng.hop_block  # hops actually replayed per call
         chain, fired = run_blk(beng.variables, bbuf, *chain)
         _ = np.asarray(fired)  # compile + warmup
         samples = []
@@ -436,7 +437,7 @@ def main():
             t0 = time.perf_counter()
             chain, fired = run_blk(beng.variables, bbuf, *chain)
             _ = np.asarray(fired)
-            samples.append((time.perf_counter() - t0) / n_steps * 1000.0)  # ms PER HOP
+            samples.append((time.perf_counter() - t0) / blk_hops * 1000.0)  # ms PER HOP
         online_step_latency_ms_trunk_blocked[str(n_s)] = {
             "p50": round(float(np.percentile(samples, 50)), 3),
             "p99": round(float(np.percentile(samples, 99)), 3),

@@ -87,6 +87,20 @@ class FileAudioSource:
         pass
 
 
+def _reject_blocked(engine):
+    """The client serves the live per-hop cadence (one chunk group per
+    inference, ref howl_client.py:85-94); hop-blocked engines expect
+    hop_block*hop_samples per push and would crash mid-stream. Reject at
+    construction instead."""
+    if engine is not None and getattr(engine, "hop_block", 1) > 1:
+        raise ValueError(
+            "HowlClient serves per-hop; hop-blocked engines (hop_block="
+            f"{engine.hop_block}) are the bulk/capacity mode — load the "
+            "workspace with hop_block=1 for live client serving"
+        )
+    return engine
+
+
 class HowlClient:
     """Wake-word serving loop over an OnlineEngine.
 
@@ -104,7 +118,7 @@ class HowlClient:
         source: Optional[Iterable[bytes]] = None,
         chunk_size: int = 500,
     ):
-        self.engine = engine
+        self.engine = _reject_blocked(engine)
         self.ctx = context
         self.source = source
         self.chunk_size = chunk_size
@@ -161,7 +175,8 @@ class HowlClient:
         """
         from howl_tpu.hub import load_pretrained
 
-        self.engine, self.ctx = load_pretrained(name, models_path)
+        engine, self.ctx = load_pretrained(name, models_path)
+        self.engine = _reject_blocked(engine)
         return self
 
     def add_listener(self, listener: Callable):

@@ -53,6 +53,14 @@ def load_workspace_engine(
     (streaming_trunk only, a multiple of the engine's schedule period) scores
     that many hops per device step — same per-hop decisions, observed at the
     block boundary; the bulk/capacity serving mode."""
+    # flag validation up front — model build + weight load below can take
+    # seconds (minutes through the TPU relay); don't do it for a bad call
+    if streaming_trunk and incremental:
+        raise ValueError(
+            "streaming_trunk and incremental select different engines — pass exactly one"
+        )
+    if hop_block != 1 and not streaming_trunk:
+        raise ValueError("hop_block requires streaming_trunk=True")
     workspace = Workspace(Path(workspace_path), delete_existing=False)
     settings = workspace.load_settings(SETTINGS)
 
@@ -95,10 +103,6 @@ def load_workspace_engine(
     variables = workspace.load_model(variables, best=best)
 
     cfg = EngineConfig.from_settings(ctx)
-    if streaming_trunk and incremental:
-        raise ValueError(
-            "streaming_trunk and incremental select different engines — pass exactly one"
-        )
     engine_cls = OnlineEngine
     if streaming_trunk:
         from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
@@ -108,11 +112,7 @@ def load_workspace_engine(
         from howl_tpu.inference.online import IncrementalOnlineEngine
 
         engine_cls = IncrementalOnlineEngine
-    extra = {}
-    if hop_block != 1:
-        if not streaming_trunk:
-            raise ValueError("hop_block requires streaming_trunk=True")
-        extra["hop_block"] = hop_block
+    extra = {"hop_block": hop_block} if hop_block != 1 else {}
     engine = engine_cls(
         model,
         variables,

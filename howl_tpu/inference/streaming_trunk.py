@@ -172,16 +172,21 @@ class TrunkSchedule:
 def make_chained_runner(
     engine: "FusedStreamingOnlineEngine", ring_hops: int, super_steps: int, donate: bool = False
 ):
-    """Jitted bulk runner: push ``super_steps * schedule.period`` hops through
-    the engine as ONE on-device ``lax.scan`` (state-serialized, one fetch) —
-    the honest way to benchmark or bulk-replay through a high-latency relay
-    (per-call dispatch costs ~ms there; see bench.py methodology).
+    """Jitted bulk runner: replay hops through the engine as ONE on-device
+    ``lax.scan`` (state-serialized, one fetch) — the honest way to benchmark
+    or bulk-replay through a high-latency relay (per-call dispatch costs ~ms
+    there; see bench.py methodology).
 
-    Each hop reads the streams' audio from a (num_streams,
-    ring_hops * hop_samples) device buffer at offset ``(j % ring_hops) *
-    hop_samples``. ring_hops must NOT be a multiple of the schedule period:
-    the phase cycle would then make every chunk slice loop-invariant and XLA
-    would hoist the frontend out of the timing chain.
+    Per-hop engines (hop_block=1): one scan iteration = one schedule period,
+    so a run pushes ``super_steps * schedule.period`` hops, each reading the
+    streams' audio from a (num_streams, ring_hops * hop_samples) device
+    buffer at offset ``(j % ring_hops) * hop_samples``; ring_hops must NOT
+    be a multiple of the schedule period or the phase cycle makes every
+    chunk slice loop-invariant and XLA hoists the frontend out of the
+    timing chain. Blocked engines (hop_block=H>1): one scan iteration = one
+    BLOCK, so a run pushes ``super_steps * H`` hops from a (num_streams,
+    ring_hops * H * hop_samples) buffer, and any ring_hops >= 2 is
+    hoist-proof (offsets vary per block).
 
     Returns (run, init_carry): ``carry, last_fired = run(variables, buf,
     *carry)``; carry is (tail, mel_cache, rings, s6_ring, state). The runner

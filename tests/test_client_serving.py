@@ -201,3 +201,8 @@ def test_hub_hop_block_passthrough(trained_workspace, monkeypatch):
     assert blocked.hop_block == period
     with pytest.raises(ValueError, match="streaming_trunk"):
         load_workspace_engine(ws, "res8", hop_block=period)
+    # the live client serves per-hop: blocked engines rejected at construction
+    from howl_tpu.client.howl_client import HowlClient
+
+    with pytest.raises(ValueError, match="hop-blocked"):
+        HowlClient(engine=blocked)

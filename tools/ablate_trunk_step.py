@@ -11,10 +11,11 @@ Usage: python tools/ablate_trunk_step.py [num_streams] [super_steps]
 
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np
+
+from _trunk_setup import trunk_bench_setup
 
 
 def _time(fn, args, n_steps):
@@ -30,42 +31,24 @@ def _time(fn, args, n_steps):
 
 
 def main():
-    from howl_tpu.utils.platform import ensure_platform
-
-    ensure_platform()
+    s = trunk_bench_setup(default_streams_tpu=16384, default_steps_tpu=11)
     import jax
     import jax.numpy as jnp
 
-    from howl_tpu.inference import EngineConfig, FusedStreamingOnlineEngine
+    from howl_tpu.inference import FusedStreamingOnlineEngine
     from howl_tpu.inference.detect import apply_inference_weights, detect_step
-    from howl_tpu.models import create_model
     from howl_tpu.models.base import model_spec
-    from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
-    from howl_tpu.training.step import StepConfig, featurize
+    from howl_tpu.ops.frontend import log_mel_spectrogram
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    n_s = int(sys.argv[1]) if len(sys.argv) > 1 else (16384 if on_tpu else 8)
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else (11 if on_tpu else 2)
-
-    frontend = FrontendConfig(n_mels=40)
-    cfg = EngineConfig(
-        inference_sequence=(0, 1, 2), max_window_size_ms=500.0, eval_stride_size_ms=62.5,
-        negative_label=3, num_labels=4,
-    )
-    model = create_model("res8", num_labels=4)
-    feats0 = featurize(
-        np.zeros((1, 8000), np.float32),
-        StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
-    )
-    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
-    dtype = jnp.bfloat16 if on_tpu else None
+    n_s, k, rng = s.n_streams, s.steps_arg, s.rng
+    cfg, frontend, model, variables = s.cfg, s.frontend, s.model, s.variables
+    dtype = s.compute_dtype
     eng = FusedStreamingOnlineEngine(
         model, variables, cfg, frontend, spec=model_spec("res8"),
         num_streams=n_s, compute_dtype=dtype,
     )
     period = eng.schedule.period
     n_steps = k * period
-    rng = np.random.default_rng(0)
     ring_hops = period + 1
     buf = jax.device_put(
         (rng.standard_normal((n_s, ring_hops * eng.hop_samples)) * 0.1).astype(np.float32)

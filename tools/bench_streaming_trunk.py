@@ -11,53 +11,28 @@ Usage: python tools/bench_streaming_trunk.py [num_streams] [steps]
 
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np
 
+from _trunk_setup import trunk_bench_setup
+
 
 def main():
-    from howl_tpu.utils.platform import ensure_platform
-
-    ensure_platform()  # honor JAX_PLATFORMS=cpu despite the sitecustomize TPU pin
-
+    # total scan steps ([2nd argv]); rounded down to a multiple of the period
+    s = trunk_bench_setup(default_streams_tpu=512, default_steps_tpu=258,
+                          default_steps_cpu=6)
     import jax
     import jax.numpy as jnp
 
-    from howl_tpu.inference import EngineConfig, FusedStreamingOnlineEngine
+    from howl_tpu.inference import FusedStreamingOnlineEngine
     from howl_tpu.inference.online import IncrementalOnlineEngine
-    from howl_tpu.models import create_model
-    from howl_tpu.models.base import model_spec
-    from howl_tpu.ops.frontend import FrontendConfig
-    from howl_tpu.training.step import StepConfig, featurize
-
-    platform = jax.devices()[0].platform
-    on_tpu = platform not in ("cpu",)
-    n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else (512 if on_tpu else 8)
-    # total scan steps; rounded down to a multiple of the schedule period
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else (258 if on_tpu else 6)
-
-    sample_rate = 16000
-    frontend = FrontendConfig(n_mels=40)
-    cfg = EngineConfig(
-        inference_sequence=(0, 1, 2),
-        max_window_size_ms=500.0,
-        eval_stride_size_ms=62.5,
-        negative_label=3,
-        num_labels=4,
-        sample_rate=sample_rate,
-    )
-    model = create_model("res8", num_labels=4)
-    rng = np.random.default_rng(0)
-    feats0 = featurize(
-        np.zeros((1, 8000), np.float32),
-        StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
-    )
-    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
-    compute_dtype = jnp.bfloat16 if on_tpu else None
-
     from howl_tpu.inference.streaming_trunk import make_chained_runner
+    from howl_tpu.models.base import model_spec
+
+    n_streams, steps, rng = s.n_streams, s.steps_arg, s.rng
+    cfg, frontend, model, variables = s.cfg, s.frontend, s.model, s.variables
+    compute_dtype = s.compute_dtype
 
     eng = FusedStreamingOnlineEngine(
         model, variables, cfg, frontend, spec=model_spec("res8"),

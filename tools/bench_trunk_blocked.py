@@ -10,10 +10,11 @@ Usage: python tools/bench_trunk_blocked.py [num_streams] [super_steps]
 
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np
+
+from _trunk_setup import trunk_bench_setup
 
 
 def _time_runner(run, variables, buf, chain, n_hops, reps):
@@ -30,41 +31,19 @@ def _time_runner(run, variables, buf, chain, n_hops, reps):
 
 
 def main():
-    from howl_tpu.utils.platform import ensure_platform
-
-    ensure_platform()
+    s = trunk_bench_setup(default_streams_tpu=16384, default_steps_tpu=11)
     import jax
-    import jax.numpy as jnp
 
-    from howl_tpu.inference import EngineConfig, FusedStreamingOnlineEngine
+    from howl_tpu.inference import FusedStreamingOnlineEngine
     from howl_tpu.inference.streaming_trunk import make_chained_runner
-    from howl_tpu.models import create_model
     from howl_tpu.models.base import model_spec
-    from howl_tpu.ops.frontend import FrontendConfig
-    from howl_tpu.training.step import StepConfig, featurize
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    n_s = int(sys.argv[1]) if len(sys.argv) > 1 else (16384 if on_tpu else 8)
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else (11 if on_tpu else 2)
-
-    frontend = FrontendConfig(n_mels=40)
-    cfg = EngineConfig(
-        inference_sequence=(0, 1, 2), max_window_size_ms=500.0, eval_stride_size_ms=62.5,
-        negative_label=3, num_labels=4,
-    )
-    model = create_model("res8", num_labels=4)
-    feats0 = featurize(
-        np.zeros((1, 8000), np.float32),
-        StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
-    )
-    variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
-    dtype = jnp.bfloat16 if on_tpu else None
-    rng = np.random.default_rng(0)
+    n_s, k, rng = s.n_streams, s.steps_arg, s.rng
 
     def build(hop_block):
         return FusedStreamingOnlineEngine(
-            model, variables, cfg, frontend, spec=model_spec("res8"),
-            num_streams=n_s, compute_dtype=dtype, hop_block=hop_block,
+            s.model, s.variables, s.cfg, s.frontend, spec=model_spec("res8"),
+            num_streams=n_s, compute_dtype=s.compute_dtype, hop_block=hop_block,
         )
 
     per = build(1)
