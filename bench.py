@@ -90,7 +90,10 @@ def bench_train_step(on_tpu: bool):
     from howl_tpu.training.step import StepConfig, featurize, make_classification_train_step
 
     batch = 1024 if on_tpu else 8
-    iters = 16 if on_tpu else 2
+    # 64 iterations amortize the fixed ~31 ms relay fetch + dispatch to <6%
+    # of the chain (16 iters under-reported steady-state by ~12%; the
+    # longer-chain bench_train.py measured ~140k ex/s vs 122k here)
+    iters = 64 if on_tpu else 2
     window_samples = 8000
     frontend = FrontendConfig(n_mels=40)
     step_cfg = StepConfig(

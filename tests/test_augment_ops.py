@@ -44,6 +44,36 @@ def test_timeshift_is_zero_filled_roll():
         assert matches, f"row {i} is not any zero-filled roll of the input"
 
 
+def test_timeshift_onehot_matches_gather_bitwise(monkeypatch):
+    """The one-hot permutation-matmul shift is bitwise identical to the
+    per-row dynamic_slice gather it replaced (HIGHEST-precision one-hot x f32
+    products are exact), including rows the prob mask skips."""
+    from howl_tpu.ops import augment
+
+    cfg = dataclasses.replace(AugmentConfig(), prob=0.6, timeshift_max_s=0.25, sample_rate=16000)
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray(rng.standard_normal((8, 8000)).astype(np.float32))
+    assert augment._shift_chunk(8000) > 0
+    fast = np.asarray(timeshift(audio, jax.random.PRNGKey(11), cfg))
+    monkeypatch.setattr(augment, "_shift_chunk", lambda n: 0)
+    slow = np.asarray(timeshift(audio, jax.random.PRNGKey(11), cfg))
+    np.testing.assert_array_equal(fast, slow)
+    assert not np.array_equal(fast, np.asarray(audio))  # something shifted
+
+
+def test_timeshift_fallback_geometry():
+    """A window length with no divisor in [8, 128] uses the gather path."""
+    from howl_tpu.ops.augment import _shift_chunk
+
+    assert _shift_chunk(8000) == 125
+    assert _shift_chunk(7993) == 0  # prime
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0, timeshift_max_s=0.1, sample_rate=16000)
+    rng = np.random.default_rng(9)
+    audio = jnp.asarray(rng.standard_normal((4, 7993)).astype(np.float32))
+    out = np.asarray(timeshift(audio, jax.random.PRNGKey(5), cfg))
+    assert out.shape == audio.shape and np.isfinite(out).all()
+
+
 def test_timeshift_prob_zero_is_identity():
     cfg = dataclasses.replace(AugmentConfig(), prob=0.0)
     rng = np.random.default_rng(2)
