@@ -128,6 +128,7 @@ def mix_noise_bank(
     noise_bank: jnp.ndarray,
     cfg: AugmentConfig,
     replace_prob: float = 0.0,
+    use_pallas: bool = None,
 ):
     """Background-noise mixing from a device-resident bank (transform.py:199-232).
 
@@ -137,26 +138,50 @@ def mix_noise_bank(
     fully replaced (a=1) — callers must then clear its labels (the sampler
     passes the replace mask back for that).
 
+    For banks at least NOISE_OFFSET_QUANTUM (1024 samples) wide, window starts
+    are quantized to that quantum on EVERY backend — it's the Mosaic DMA
+    alignment unit, and drawing identically everywhere keeps CPU and TPU
+    bitwise-equal for the same key (the bank still yields thousands of distinct
+    windows; the reference's sample-exact starts carry no augmentation value).
+    On TPU the gather+mix then runs as one fused Pallas DMA kernel
+    (ops/augment_pallas.py): 2.4 ms -> 0.72 ms at batch 1024 x 8000 from a
+    (512, 32000) bank. ``use_pallas`` overrides the platform auto-detection
+    (True + interpret is exercised by tests).
+
     Returns (mixed_audio, replaced_mask).
     """
+    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM, mix_noise_bank_pallas
+
     b, n = audio.shape
+    bank_w = noise_bank.shape[1]
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     rows = jax.random.randint(k1, (b,), 0, noise_bank.shape[0])
-    offs = jax.random.randint(k2, (b,), 0, noise_bank.shape[1])
+    quantized = bank_w >= NOISE_OFFSET_QUANTUM
+    if quantized:
+        offs = jax.random.randint(k2, (b,), 0, bank_w // NOISE_OFFSET_QUANTUM)
+        offs = offs * NOISE_OFFSET_QUANTUM
+    else:
+        offs = jax.random.randint(k2, (b,), 0, bank_w)
     # circular window = contiguous slice of the wrap-extended bank; one (row,
     # offset) pair per example (slices of shape (1, n)) instead of per-element
     # modular take_along_axis indices (~11 ms -> ~0.1 ms for (128, 8000) on v5e)
-    extended = jnp.concatenate([noise_bank, noise_bank[:, : min(n, noise_bank.shape[1])]], axis=1)
-    if n > noise_bank.shape[1]:  # tiny banks: keep extending until a slice fits
-        reps = -(-n // noise_bank.shape[1])
-        extended = jnp.concatenate([noise_bank] + [noise_bank] * reps, axis=1)[:, : noise_bank.shape[1] + n]
-    noise = jax.vmap(lambda r, s: jax.lax.dynamic_slice(extended, (r, s), (1, n))[0])(rows, offs)
+    extended = jnp.concatenate([noise_bank, noise_bank[:, : min(n, bank_w)]], axis=1)
+    if n > bank_w:  # tiny banks: keep extending until a slice fits
+        reps = -(-n // bank_w)
+        extended = jnp.concatenate([noise_bank] + [noise_bank] * reps, axis=1)[:, : bank_w + n]
     alpha = jax.random.uniform(k3, (b, 1)) * cfg.mixer_strength
     replaced = jax.random.bernoulli(k4, replace_prob, (b,))
     alpha = jnp.where(replaced[:, None], 1.0, alpha)
     apply = _per_example_mask(k5, b, cfg.prob)
     alpha = jnp.where(apply[:, None], alpha, 0.0)
-    mixed = audio * (1.0 - alpha) + noise * alpha
+    if use_pallas is None:
+        use_pallas = quantized and jax.devices()[0].platform == "tpu"
+    if use_pallas and quantized:
+        interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
+        mixed = mix_noise_bank_pallas(audio, extended, rows, offs, alpha, interpret=interpret)
+    else:
+        noise = jax.vmap(lambda r, s: jax.lax.dynamic_slice(extended, (r, s), (1, n))[0])(rows, offs)
+        mixed = audio * (1.0 - alpha) + noise * alpha
     return mixed, replaced & apply
 
 

@@ -123,6 +123,61 @@ def test_mix_window_longer_than_bank_wraps():
         assert found, f"row {i} does not wrap the short bank correctly"
 
 
+def test_mix_pallas_kernel_matches_fallback():
+    """The fused DMA gather+mix kernel (interpret mode on CPU) matches the
+    dynamic-slice fallback for the same key: same windows, same replace mask,
+    and a batch that needs padding to the kernel's examples-per-block. On the
+    real TPU the two paths measured bitwise identical; under CPU interpret
+    mode the partially-mixed rows may differ by 1 ulp (the fallback's
+    ``a*(1-w)+n*w`` is FMA-contracted by XLA, the interpreted kernel is not),
+    so replaced (w=1) and skipped (w=0) rows assert exact and mixed rows
+    assert to a 1-ulp tolerance."""
+    cfg = dataclasses.replace(AugmentConfig(), prob=0.6)
+    rng = np.random.default_rng(11)
+    bank = rng.standard_normal((4, 4096)).astype(np.float32)  # >= quantum wide
+    audio = rng.standard_normal((5, 2000)).astype(np.float32)  # 5 % 8 != 0
+    key = jax.random.PRNGKey(13)
+    fast, rep_f = mix_noise_bank(
+        jnp.asarray(audio), key, jnp.asarray(bank), cfg, replace_prob=0.3, use_pallas=True
+    )
+    slow, rep_s = mix_noise_bank(
+        jnp.asarray(audio), key, jnp.asarray(bank), cfg, replace_prob=0.3, use_pallas=False
+    )
+    fast, slow = np.asarray(fast), np.asarray(slow)
+    rep = np.asarray(rep_f)
+    np.testing.assert_array_equal(rep, np.asarray(rep_s))
+    np.testing.assert_array_equal(fast[rep], slow[rep])  # replaced: exact
+    untouched = np.all(slow == audio, axis=1)  # skipped rows: exact passthrough
+    np.testing.assert_array_equal(fast[untouched], slow[untouched])
+    np.testing.assert_allclose(fast, slow, atol=5e-7, rtol=0)
+    assert not np.array_equal(fast, audio)  # something mixed
+
+
+def test_mix_offsets_quantized_for_wide_banks():
+    """Banks >= 1024 samples wide draw window starts only at multiples of the
+    DMA alignment quantum (replace mode makes windows directly observable)."""
+    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM
+
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0)
+    rng = np.random.default_rng(12)
+    bank = rng.standard_normal((3, 3 * NOISE_OFFSET_QUANTUM)).astype(np.float32)
+    audio = rng.standard_normal((16, 64)).astype(np.float32)
+    mixed, replaced = mix_noise_bank(
+        jnp.asarray(audio), jax.random.PRNGKey(21), jnp.asarray(bank), cfg,
+        replace_prob=1.0, use_pallas=False,
+    )
+    mixed = np.asarray(mixed)
+    assert np.asarray(replaced).all()
+    starts = {o for o in range(0, bank.shape[1], NOISE_OFFSET_QUANTUM)}
+    for i in range(mixed.shape[0]):
+        found = any(
+            np.allclose(mixed[i], bank[r, o : o + 64], atol=1e-6)
+            for r in range(bank.shape[0])
+            for o in starts
+        )
+        assert found, f"row {i} window start is not quantum-aligned"
+
+
 def test_mix_alpha_zero_prob_keeps_audio():
     cfg = dataclasses.replace(AugmentConfig(), prob=0.0)
     rng = np.random.default_rng(8)
