@@ -23,7 +23,10 @@ object also carries:
   * ``train_examples_per_sec`` / ``train_mfu`` — the fused train step
     (on-device aug + VTLP frontend + res8 + CE + AdamW) at the documented
     bf16 batch-1024 config (docs/PERFORMANCE.md), so training-path
-    regressions are visible round-over-round (VERDICT.md round-2 item #6)
+    regressions are visible round-over-round (VERDICT.md round-2 item #6);
+    ``train_noise_examples_per_sec`` adds noise-bank mixing from a
+    (512, 32000) bank — the hey-firefox recipe shape — through the fused
+    Pallas DMA gather+mix (ops/augment_pallas.py)
   * ``online_step_latency_ms`` — p50/p99 per-62.5 ms-step latency of the
     incremental online path at ~1k/16k/64k concurrent streams (each sample =
     one K-step on-device chain / K, one fetch per sample; VERDICT.md #7).
@@ -78,8 +81,12 @@ def train_flops_per_example(window_samples: int, frontend, maps=45, num_labels=4
 
 
 def bench_train_step(on_tpu: bool):
-    """One-config training benchmark (the documented bf16 batch-1024 recipe,
-    docs/PERFORMANCE.md): returns (examples_per_sec, train_mfu)."""
+    """Training benchmark at the documented bf16 batch-1024 recipe
+    (docs/PERFORMANCE.md): returns (examples_per_sec, train_mfu,
+    noise_examples_per_sec). The third number is the same step with
+    noise-bank mixing from a (512, 32000) device-resident bank — the
+    hey-firefox recipe's configuration, exercising the fused Pallas DMA
+    gather+mix (ops/augment_pallas.py) on TPU."""
     import jax
     import jax.numpy as jnp
 
@@ -111,37 +118,43 @@ def bench_train_step(on_tpu: bool):
     state = create_train_state(
         model, jax.random.PRNGKey(0), feats0, learning_rate=0.01, lr_decay=0.99, steps_per_epoch=100
     )
-    train_step = make_classification_train_step(model, step_cfg)
-
     rng = np.random.default_rng(0)
     audio = jax.device_put((rng.standard_normal((batch, window_samples)) * 0.1).astype(np.float32))
     labels = jax.device_put(rng.integers(0, 4, batch).astype(np.int32))
     lengths = jax.device_put(np.full(batch, window_samples, np.int32))
+    bank = jax.device_put(
+        (rng.standard_normal((512 if on_tpu else 4, 32000 if on_tpu else 2048)) * 0.05).astype(np.float32)
+    )
 
-    @partial(jax.jit, static_argnames=("n",))
-    def run(state, key, n):
-        def body(carry, _):
-            state, key = carry
-            key, sub = jax.random.split(key)
-            state, metrics = train_step(state, audio, labels, lengths, sub)
-            return (state, key), metrics["loss"]
+    def measure(train_step):
+        @partial(jax.jit, static_argnames=("n",))
+        def run(state, key, n):
+            def body(carry, _):
+                state, key = carry
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, audio, labels, lengths, sub)
+                return (state, key), metrics["loss"]
 
-        (state, key), losses = jax.lax.scan(body, (state, key), None, length=n)
-        return state, losses
+            (state, key), losses = jax.lax.scan(body, (state, key), None, length=n)
+            return state, losses
 
-    state, losses = run(state, jax.random.PRNGKey(1), n=iters)  # compile
-    _ = float(np.asarray(losses[-1]))
-    t0 = time.perf_counter()
-    state, losses = run(state, jax.random.PRNGKey(1), n=iters)
-    _ = float(np.asarray(losses[-1]))
-    elapsed = time.perf_counter() - t0
-    examples_per_sec = batch * iters / elapsed
+        s, losses = run(state, jax.random.PRNGKey(1), n=iters)  # compile
+        _ = float(np.asarray(losses[-1]))
+        t0 = time.perf_counter()
+        s, losses = run(state, jax.random.PRNGKey(1), n=iters)
+        _ = float(np.asarray(losses[-1]))
+        return batch * iters / (time.perf_counter() - t0)
+
+    examples_per_sec = measure(make_classification_train_step(model, step_cfg))
     mfu = (
-        train_flops_per_example(window_samples, frontend) * batch * iters / elapsed / V5E_BF16_PEAK_FLOPS
+        train_flops_per_example(window_samples, frontend) * examples_per_sec / V5E_BF16_PEAK_FLOPS
         if on_tpu
         else 0.0
     )
-    return examples_per_sec, mfu
+    noise_examples_per_sec = measure(
+        make_classification_train_step(model, step_cfg._replace(replace_prob=0.1), bank)
+    )
+    return examples_per_sec, mfu, noise_examples_per_sec
 
 
 def main():
@@ -451,7 +464,7 @@ def main():
         del run_blk, chain, bbuf, beng
 
     # ---- training throughput + MFU at the documented bf16 batch-1024 config
-    train_examples_per_sec, train_mfu = bench_train_step(on_tpu)
+    train_examples_per_sec, train_mfu, train_noise_examples_per_sec = bench_train_step(on_tpu)
 
     print(
         json.dumps(
@@ -471,6 +484,7 @@ def main():
                 "online_step_latency_ms_trunk_blocked": online_step_latency_ms_trunk_blocked,
                 "train_examples_per_sec": round(train_examples_per_sec, 1),
                 "train_mfu": round(train_mfu, 4),
+                "train_noise_examples_per_sec": round(train_noise_examples_per_sec, 1),
             }
         )
     )

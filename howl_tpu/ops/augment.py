@@ -175,7 +175,13 @@ def mix_noise_bank(
     apply = _per_example_mask(k5, b, cfg.prob)
     alpha = jnp.where(apply[:, None], alpha, 0.0)
     if use_pallas is None:
-        use_pallas = quantized and jax.devices()[0].platform == "tpu"
+        # auto-select only for single-device programs: under the GSPMD DP
+        # path (train.py --num-devices) a pallas_call is an unpartitionable
+        # custom call — XLA would all-gather the sharded batch around it.
+        # Sharded callers that run per-device (shard_map) can pass True.
+        use_pallas = (
+            quantized and jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+        )
     if use_pallas and quantized:
         interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
         mixed = mix_noise_bank_pallas(audio, extended, rows, offs, alpha, interpret=interpret)
