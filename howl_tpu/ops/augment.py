@@ -58,9 +58,13 @@ def timeshift(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
     per-row gathers are hostile to the TPU (a vmapped dynamic_slice measured
     3.1 ms for (1024, 8000) on v5e vs 1.3 ms for this form — and per-ELEMENT
     take_along_axis ~9 ms at an eighth the batch), while one-hot x f32 at
-    Precision.HIGHEST is MXU work and bitwise identical to the gather. The
-    skip-augmentation mask folds into the start index (identity shift) so no
-    separate select pass over the audio is paid.
+    Precision.HIGHEST is MXU work and bitwise identical to the gather for
+    finite audio. Skipped rows are additionally passed through verbatim with
+    a final select (the identity one-hot alone would still rewrite them
+    through the matmul, flipping -0.0 and spreading any non-finite sample);
+    for APPLIED rows a non-finite input sample NaNs its whole 2-chunk
+    one-hot neighborhood rather than staying put — corrupt PCM should be
+    rejected upstream either way.
     """
     b, n = audio.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -94,7 +98,7 @@ def timeshift(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
         jnp.float32
     )
     out = jnp.einsum("bjs,bts->bjt", z2, oh2, precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(b, n)
+    return jnp.where(apply[:, None], out.reshape(b, n), audio)
 
 
 def white_noise(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
@@ -122,21 +126,68 @@ def salt_pepper_noise(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) ->
     return jnp.where(apply, jnp.clip(audio + noise, -1.0, 1.0), audio)
 
 
+@jax.tree_util.register_pytree_node_class
+class PreparedNoiseBank:
+    """A noise bank pre-processed for ``mix_noise_bank``: the wrap-extended
+    view plus (for quantum-wide banks) the tile-aligned flat view the Pallas
+    kernel DMAs from. Build ONCE per bank+window via ``prepare_noise_bank`` —
+    deriving these inside every train-step execution costs ~166 MB of HBM
+    traffic per step at the recipe (512, 32000) bank. A pytree (arrays as
+    children, ints as static aux), so it passes through jit/vmap unchanged."""
+
+    def __init__(self, extended, flat, bank_w: int, window: int, w_ext: int):
+        self.extended = extended
+        self.flat = flat
+        self.bank_w = bank_w
+        self.window = window
+        self.w_ext = w_ext
+
+    def tree_flatten(self):
+        return (self.extended, self.flat), (self.bank_w, self.window, self.w_ext)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def prepare_noise_bank(noise_bank: jnp.ndarray, window_samples: int) -> PreparedNoiseBank:
+    """Pre-derive the circular-window views of a (N, W) noise bank for windows
+    of ``window_samples``: the wrap-extended bank (so every circular window is
+    one contiguous slice) and, when W >= NOISE_OFFSET_QUANTUM, the
+    quantum-aligned flat view for the fused Pallas DMA kernel."""
+    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM, flatten_bank
+
+    noise_bank = jnp.asarray(noise_bank)
+    n = window_samples
+    bank_w = noise_bank.shape[1]
+    extended = jnp.concatenate([noise_bank, noise_bank[:, : min(n, bank_w)]], axis=1)
+    if n > bank_w:  # tiny banks: keep extending until a slice fits
+        reps = -(-n // bank_w)
+        extended = jnp.concatenate([noise_bank] + [noise_bank] * reps, axis=1)[:, : bank_w + n]
+    flat, w_ext = (None, 0)
+    if bank_w >= NOISE_OFFSET_QUANTUM:
+        flat, w_ext = flatten_bank(extended, n)
+    return PreparedNoiseBank(extended, flat, bank_w, n, w_ext)
+
+
 def mix_noise_bank(
     audio: jnp.ndarray,
     key: jax.Array,
-    noise_bank: jnp.ndarray,
+    noise_bank,
     cfg: AugmentConfig,
     replace_prob: float = 0.0,
     use_pallas: bool = None,
 ):
     """Background-noise mixing from a device-resident bank (transform.py:199-232).
 
-    noise_bank: (N, window_samples) pre-cut noise windows in HBM. Each example
-    draws a random row + random circular offset; ``mixed = (1-a)*x + a*noise``
-    with a ~ U[0, mixer_strength]. With probability ``replace_prob`` the clip is
-    fully replaced (a=1) — callers must then clear its labels (the sampler
-    passes the replace mask back for that).
+    noise_bank: a (N, W) array of pre-cut noise clips in HBM, or a
+    ``PreparedNoiseBank`` from ``prepare_noise_bank`` (preferred in hot loops —
+    the raw-array form re-derives the windowing views inside every execution).
+    Each example draws a random row + random circular offset;
+    ``mixed = (1-a)*x + a*noise`` with a ~ U[0, mixer_strength]. With
+    probability ``replace_prob`` the clip is fully replaced (a=1) — callers
+    must then clear its labels (the sampler passes the replace mask back for
+    that).
 
     For banks at least NOISE_OFFSET_QUANTUM (1024 samples) wide, window starts
     are quantized to that quantum on EVERY backend — it's the Mosaic DMA
@@ -153,22 +204,23 @@ def mix_noise_bank(
     from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM, mix_noise_bank_pallas
 
     b, n = audio.shape
-    bank_w = noise_bank.shape[1]
+    if not isinstance(noise_bank, PreparedNoiseBank):
+        noise_bank = prepare_noise_bank(noise_bank, n)
+    if noise_bank.window != n:
+        raise ValueError(
+            f"noise bank was prepared for {noise_bank.window}-sample windows, got {n}"
+        )
+    bank_w, extended = noise_bank.bank_w, noise_bank.extended
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    rows = jax.random.randint(k1, (b,), 0, noise_bank.shape[0])
+    rows = jax.random.randint(k1, (b,), 0, extended.shape[0])
     quantized = bank_w >= NOISE_OFFSET_QUANTUM
     if quantized:
-        offs = jax.random.randint(k2, (b,), 0, bank_w // NOISE_OFFSET_QUANTUM)
+        # ceil: the last aligned start below bank_w is drawable (floor would
+        # drop it — and collapse banks in [1024, 2047] to a single start)
+        offs = jax.random.randint(k2, (b,), 0, -(-bank_w // NOISE_OFFSET_QUANTUM))
         offs = offs * NOISE_OFFSET_QUANTUM
     else:
         offs = jax.random.randint(k2, (b,), 0, bank_w)
-    # circular window = contiguous slice of the wrap-extended bank; one (row,
-    # offset) pair per example (slices of shape (1, n)) instead of per-element
-    # modular take_along_axis indices (~11 ms -> ~0.1 ms for (128, 8000) on v5e)
-    extended = jnp.concatenate([noise_bank, noise_bank[:, : min(n, bank_w)]], axis=1)
-    if n > bank_w:  # tiny banks: keep extending until a slice fits
-        reps = -(-n // bank_w)
-        extended = jnp.concatenate([noise_bank] + [noise_bank] * reps, axis=1)[:, : bank_w + n]
     alpha = jax.random.uniform(k3, (b, 1)) * cfg.mixer_strength
     replaced = jax.random.bernoulli(k4, replace_prob, (b,))
     alpha = jnp.where(replaced[:, None], 1.0, alpha)
@@ -184,8 +236,14 @@ def mix_noise_bank(
         )
     if use_pallas and quantized:
         interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
-        mixed = mix_noise_bank_pallas(audio, extended, rows, offs, alpha, interpret=interpret)
+        mixed = mix_noise_bank_pallas(
+            audio, noise_bank.flat, noise_bank.w_ext, rows, offs, alpha, interpret=interpret
+        )
     else:
+        # circular window = contiguous slice of the wrap-extended bank; one
+        # (row, offset) pair per example (slices of shape (1, n)) instead of
+        # per-element modular take_along_axis indices (~11 ms -> ~0.1 ms for
+        # (128, 8000) on v5e)
         noise = jax.vmap(lambda r, s: jax.lax.dynamic_slice(extended, (r, s), (1, n))[0])(rows, offs)
         mixed = audio * (1.0 - alpha) + noise * alpha
     return mixed, replaced & apply

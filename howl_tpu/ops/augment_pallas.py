@@ -56,33 +56,45 @@ def _mix_kernel(qm_ref, audio_ref, alpha_ref, bank_ref, out_ref, noise_scr, sems
     out_ref[:] = audio_ref[:] * (1.0 - a) + noise_scr[:] * a
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def flatten_bank(extended: jnp.ndarray, n: int):
+    """(N, W_cols) wrap-extended bank -> ((rows, 128) tile-aligned flat view,
+    w_ext row pitch). Each bank row is zero-padded to ``w_ext`` (a
+    NOISE_OFFSET_QUANTUM multiple covering the largest DMA block end) so every
+    quantized window start stays tile-aligned in the flat view. Build this
+    ONCE per bank (augment.prepare_noise_bank) — rebuilding it inside every
+    train-step execution costs ~84 MB of HBM traffic at the recipe
+    (512, 32000) bank."""
+    q = NOISE_OFFSET_QUANTUM
+    _, w_cols = extended.shape
+    blk = _round_up(n, q)
+    # each row must hold the largest window end (off <= w_cols - n after the
+    # caller's wrap extension; the DMA block tail may read the zero pad)
+    w_ext = _round_up(max(w_cols, w_cols - n + blk), q)
+    return jnp.pad(extended, ((0, 0), (0, w_ext - w_cols))).reshape(-1, 128), w_ext
+
+
+@partial(jax.jit, static_argnames=("w_ext", "interpret"))
 def mix_noise_bank_pallas(
     audio: jnp.ndarray,
-    extended: jnp.ndarray,
+    flat: jnp.ndarray,
+    w_ext: int,
     rows: jnp.ndarray,
     offs: jnp.ndarray,
     alpha: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused gather+mix: ``audio*(1-alpha) + extended[row, off:off+n]*alpha``.
+    """Fused gather+mix: ``audio*(1-alpha) + bank[row, off:off+n]*alpha``.
 
-    audio: (B, n) f32. extended: (N, W_cols) wrap-extended bank with
-    W_cols >= off + n for every drawable off. rows: (B,) int32 bank rows.
-    offs: (B,) int32 window starts, each a multiple of NOISE_OFFSET_QUANTUM.
-    alpha: (B, 1) f32 final per-example mix weight (prob/replace masks already
-    folded in).
+    audio: (B, n) f32. flat/w_ext: the bank's tile-aligned flat view from
+    ``flatten_bank``. rows: (B,) int32 bank rows. offs: (B,) int32 window
+    starts, each a multiple of NOISE_OFFSET_QUANTUM. alpha: (B, 1) f32 final
+    per-example mix weight (prob/replace masks already folded in).
     """
     q = NOISE_OFFSET_QUANTUM
     b, n = audio.shape
-    _, w_cols = extended.shape
     blk = _round_up(n, q)
     blk_rows = blk // 128
-    # each row must hold the largest window end (off <= w_cols - n after the
-    # caller's wrap extension; the DMA block tail may read the zero pad)
-    w_ext = _round_up(max(w_cols, w_cols - n + blk), q)
-    # row-pad the bank so every row start stays quantum-aligned in the flat view
-    bank2d = jnp.pad(extended, ((0, 0), (0, w_ext - w_cols))).reshape(-1, 128)
+    bank2d = flat
     qm = ((rows * w_ext + offs) // q).astype(jnp.int32)
     b_pad = _round_up(b, _E)
     if b_pad != b:

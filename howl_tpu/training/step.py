@@ -65,9 +65,37 @@ def featurize(audio: jnp.ndarray, cfg: StepConfig, key: Optional[jax.Array] = No
     return (feats - cfg.zmuv_mean) / cfg.zmuv_std
 
 
+def _bank_dispatch(noise_bank, build: Callable) -> Callable:
+    """Wrap a per-window-geometry step builder over an optional noise bank.
+
+    The bank's windowing views (``aug.PreparedNoiseBank``: wrap extension +
+    the Pallas kernel's tile-aligned flat view) are derived ONCE per window
+    size here, outside the step, and closed over as jit constants — deriving
+    them inside every step execution costs ~166 MB of HBM traffic per step at
+    the recipe (512, 32000) bank. Without a bank the builder's jitted step is
+    returned directly."""
+    if noise_bank is None:
+        return build(None)
+    if isinstance(noise_bank, aug.PreparedNoiseBank):
+        return build(noise_bank)
+    steps = {}
+
+    def call(state, audio, *rest):
+        n = audio.shape[-1]
+        fn = steps.get(n)
+        if fn is None:
+            fn = steps[n] = build(aug.prepare_noise_bank(noise_bank, n))
+        return fn(state, audio, *rest)
+
+    return call
+
+
 def make_classification_train_step(model, cfg: StepConfig, noise_bank=None) -> Callable:
     """Returns jitted (state, audio, labels, lengths, key) -> (state, metrics)."""
+    return _bank_dispatch(noise_bank, lambda bank: _build_classification_step(model, cfg, bank))
 
+
+def _build_classification_step(model, cfg: StepConfig, noise_bank) -> Callable:
     @jax.jit
     def train_step(state, audio, labels, lengths, key):
         k_wave, k_vtlp, k_spec, k_drop = jax.random.split(jax.random.fold_in(key, state.step), 4)
@@ -125,7 +153,10 @@ def make_classification_eval_step(model, cfg: StepConfig) -> Callable:
 
 def make_ctc_train_step(model, cfg: StepConfig, noise_bank=None) -> Callable:
     """CTC objective over sequential models (ref train.py:250-253, 293-299)."""
+    return _bank_dispatch(noise_bank, lambda bank: _build_ctc_step(model, cfg, bank))
 
+
+def _build_ctc_step(model, cfg: StepConfig, noise_bank) -> Callable:
     @jax.jit
     def train_step(state, audio, labels, audio_lengths, label_lengths, key):
         k_wave, k_vtlp, k_spec, k_drop = jax.random.split(jax.random.fold_in(key, state.step), 4)

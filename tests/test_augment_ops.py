@@ -178,6 +178,71 @@ def test_mix_offsets_quantized_for_wide_banks():
         assert found, f"row {i} window start is not quantum-aligned"
 
 
+def test_mix_draws_last_aligned_start():
+    """The ceil-divided offset draw reaches the final aligned start below the
+    bank width (floor division would collapse a 1500-wide bank to start 0)."""
+    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM as Q
+
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0)
+    rng = np.random.default_rng(31)
+    bank = rng.standard_normal((1, Q + 476)).astype(np.float32)  # starts {0, Q}
+    audio = rng.standard_normal((64, 32)).astype(np.float32)
+    mixed, _ = mix_noise_bank(
+        jnp.asarray(audio), jax.random.PRNGKey(5), jnp.asarray(bank), cfg,
+        replace_prob=1.0, use_pallas=False,
+    )
+    mixed = np.asarray(mixed)
+    seen = set()
+    for i in range(mixed.shape[0]):
+        for o in (0, Q):
+            # start Q wraps: window = bank[0, Q:Q+32] exists (width Q+476)
+            if np.allclose(mixed[i], bank[0, o : o + 32], atol=1e-6):
+                seen.add(o)
+    assert seen == {0, Q}, f"only starts {seen} drawn"
+
+
+def test_mix_prepared_bank_matches_raw_and_validates_window():
+    """A PreparedNoiseBank gives identical draws/results to the raw-array form
+    for the same key, and rejects a mismatched window size loudly."""
+    import pytest
+
+    from howl_tpu.ops.augment import prepare_noise_bank
+
+    cfg = dataclasses.replace(AugmentConfig(), prob=0.7)
+    rng = np.random.default_rng(17)
+    bank = rng.standard_normal((3, 4096)).astype(np.float32)
+    audio = rng.standard_normal((6, 2000)).astype(np.float32)
+    prep = prepare_noise_bank(jnp.asarray(bank), 2000)
+    for use_pallas in (False, True):
+        m_raw, r_raw = mix_noise_bank(
+            jnp.asarray(audio), jax.random.PRNGKey(2), jnp.asarray(bank), cfg,
+            replace_prob=0.25, use_pallas=use_pallas,
+        )
+        m_prep, r_prep = mix_noise_bank(
+            jnp.asarray(audio), jax.random.PRNGKey(2), prep, cfg,
+            replace_prob=0.25, use_pallas=use_pallas,
+        )
+        np.testing.assert_array_equal(np.asarray(r_raw), np.asarray(r_prep))
+        np.testing.assert_array_equal(np.asarray(m_raw), np.asarray(m_prep))
+    with pytest.raises(ValueError, match="prepared for 2000"):
+        mix_noise_bank(jnp.asarray(audio[:, :1000]), jax.random.PRNGKey(2), prep, cfg)
+
+
+def test_timeshift_skipped_rows_bitwise_verbatim():
+    """prob<1 rows must come back byte-identical — including -0.0 and NaN
+    samples, which the one-hot matmul alone would rewrite."""
+    cfg = dataclasses.replace(AugmentConfig(), prob=0.0, timeshift_max_s=0.25, sample_rate=64)
+    rng = np.random.default_rng(23)
+    audio = rng.standard_normal((8, 64)).astype(np.float32)
+    audio[0, 3] = -0.0
+    audio[1, 5] = np.nan
+    audio[2, 7] = np.inf
+    out = np.asarray(timeshift(jnp.asarray(audio), jax.random.PRNGKey(4), cfg))
+    np.testing.assert_array_equal(
+        out.view(np.uint32), audio.view(np.uint32)
+    )  # bit-level, catches -0.0 -> +0.0
+
+
 def test_mix_alpha_zero_prob_keeps_audio():
     cfg = dataclasses.replace(AugmentConfig(), prob=0.0)
     rng = np.random.default_rng(8)
