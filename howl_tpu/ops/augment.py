@@ -39,9 +39,12 @@ def _per_example_mask(key, batch: int, prob: float):
 
 
 def _shift_chunk(n: int) -> int:
-    """Largest divisor of n in [8, 128] for the one-hot chunked shift; 0 if
-    none exists (fall back to the per-row dynamic_slice gather)."""
-    for c in range(128, 7, -1):
+    """Largest divisor of n in [64, 128] for the one-hot chunked shift; 0 if
+    none exists (fall back to the per-row dynamic_slice gather). The floor of
+    64 bounds the stage-1 one-hot at O(b * (n/64)^2): smaller divisors make
+    the permutation matrices dwarf the gather they replace (c=8 at n=7928
+    would materialize a 7.5 GB one-hot for a 1024-row batch)."""
+    for c in range(128, 63, -1):
         if n % c == 0:
             return c
     return 0
@@ -88,7 +91,9 @@ def timeshift(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
     q, r = starts // c, starts % c
     k_in = (n + 2 * pad_c) // c
     k_out = n // c + 1  # one spill chunk feeds the residual stage when r > 0
-    padded = jnp.pad(audio, ((0, 0), (pad_c, pad_c))).reshape(b, k_in, c)
+    # exact one-hot products need f32 operands; sub-f32 audio round-trips
+    # losslessly (the permutation only moves values), cast back at the select
+    padded = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad_c, pad_c))).reshape(b, k_in, c)
     oh1 = (q[:, None, None] + jnp.arange(k_out)[:, None] == jnp.arange(k_in)[None, :]).astype(
         jnp.float32
     )
@@ -98,7 +103,7 @@ def timeshift(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
         jnp.float32
     )
     out = jnp.einsum("bjs,bts->bjt", z2, oh2, precision=jax.lax.Precision.HIGHEST)
-    return jnp.where(apply[:, None], out.reshape(b, n), audio)
+    return jnp.where(apply[:, None], out.reshape(b, n).astype(audio.dtype), audio)
 
 
 def white_noise(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
@@ -129,8 +134,8 @@ def salt_pepper_noise(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) ->
 @jax.tree_util.register_pytree_node_class
 class PreparedNoiseBank:
     """A noise bank pre-processed for ``mix_noise_bank``: the wrap-extended
-    view plus (for quantum-wide banks) the tile-aligned flat view the Pallas
-    kernel DMAs from. Build ONCE per bank+window via ``prepare_noise_bank`` —
+    view plus (when the Pallas kernel applies) the tile-aligned flat view it
+    DMAs from. Build ONCE per bank+window via ``prepare_noise_bank`` —
     deriving these inside every train-step execution costs ~166 MB of HBM
     traffic per step at the recipe (512, 32000) bank. A pytree (arrays as
     children, ints as static aux), so it passes through jit/vmap unchanged."""
@@ -150,22 +155,47 @@ class PreparedNoiseBank:
         return cls(*children, *aux)
 
 
-def prepare_noise_bank(noise_bank: jnp.ndarray, window_samples: int) -> PreparedNoiseBank:
+# Minimum number of quantum-aligned window starts for quantized draws: banks
+# offering fewer keep sample-exact starts (and the XLA gather) — quantizing a
+# 1024..2047-sample bank would collapse its window diversity to 1-2 starts.
+# Shape-based, so CPU and TPU draw identically for the same key. The flagship
+# 0.5 s recipe's (N, 8000) train bank has exactly ceil(8000/1024) = 8 starts
+# and stays on the Pallas kernel.
+MIN_QUANTIZED_STARTS = 8
+
+
+def _bank_quantized(bank_w: int) -> bool:
+    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM
+
+    # ceil — must count exactly the starts the quantized draw below offers
+    return -(-bank_w // NOISE_OFFSET_QUANTUM) >= MIN_QUANTIZED_STARTS
+
+
+def prepare_noise_bank(
+    noise_bank: jnp.ndarray, window_samples: int, for_pallas: bool = None
+) -> PreparedNoiseBank:
     """Pre-derive the circular-window views of a (N, W) noise bank for windows
     of ``window_samples``: the wrap-extended bank (so every circular window is
-    one contiguous slice) and, when W >= NOISE_OFFSET_QUANTUM, the
-    quantum-aligned flat view for the fused Pallas DMA kernel."""
-    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM, flatten_bank
+    one contiguous slice) and — when the bank is wide enough for quantized
+    draws (>= MIN_QUANTIZED_STARTS quanta) AND the Pallas kernel can actually
+    run — the quantum-aligned flat view it DMAs from. ``for_pallas`` forces
+    (True) or skips (False) the flat view; None auto-detects the same
+    single-device-TPU condition ``mix_noise_bank`` uses, so a DP/CPU program
+    never pays the flat view's extra HBM (it is ~2.5x the bank's size)."""
+    from howl_tpu.ops.augment_pallas import flatten_bank
 
     noise_bank = jnp.asarray(noise_bank)
     n = window_samples
     bank_w = noise_bank.shape[1]
-    extended = jnp.concatenate([noise_bank, noise_bank[:, : min(n, bank_w)]], axis=1)
     if n > bank_w:  # tiny banks: keep extending until a slice fits
         reps = -(-n // bank_w)
         extended = jnp.concatenate([noise_bank] + [noise_bank] * reps, axis=1)[:, : bank_w + n]
+    else:
+        extended = jnp.concatenate([noise_bank, noise_bank[:, :n]], axis=1)
+    if for_pallas is None:
+        for_pallas = jax.devices()[0].platform == "tpu" and jax.device_count() == 1
     flat, w_ext = (None, 0)
-    if bank_w >= NOISE_OFFSET_QUANTUM:
+    if for_pallas and _bank_quantized(bank_w):
         flat, w_ext = flatten_bank(extended, n)
     return PreparedNoiseBank(extended, flat, bank_w, n, w_ext)
 
@@ -189,23 +219,28 @@ def mix_noise_bank(
     must then clear its labels (the sampler passes the replace mask back for
     that).
 
-    For banks at least NOISE_OFFSET_QUANTUM (1024 samples) wide, window starts
-    are quantized to that quantum on EVERY backend — it's the Mosaic DMA
-    alignment unit, and drawing identically everywhere keeps CPU and TPU
-    bitwise-equal for the same key (the bank still yields thousands of distinct
-    windows; the reference's sample-exact starts carry no augmentation value).
-    On TPU the gather+mix then runs as one fused Pallas DMA kernel
-    (ops/augment_pallas.py): 2.4 ms -> 0.72 ms at batch 1024 x 8000 from a
-    (512, 32000) bank. ``use_pallas`` overrides the platform auto-detection
-    (True + interpret is exercised by tests).
+    For banks offering at least MIN_QUANTIZED_STARTS aligned starts (width
+    > 7 x 1024 samples), window starts are quantized to NOISE_OFFSET_QUANTUM
+    on EVERY backend —
+    it's the Mosaic DMA alignment unit, and drawing identically everywhere
+    keeps CPU and TPU bitwise-equal for the same key (a quantized bank still
+    yields thousands of distinct windows; the reference's sample-exact starts
+    carry no augmentation value). Narrower banks keep sample-exact starts
+    (quantizing them would collapse diversity to a handful of windows) and
+    always use the XLA gather. On TPU a quantized bank's gather+mix runs as
+    one fused Pallas DMA kernel (ops/augment_pallas.py): 2.4 ms -> 0.72 ms at
+    batch 1024 x 8000 from a (512, 32000) bank. ``use_pallas`` overrides the
+    platform auto-detection (True + interpret is exercised by tests) and
+    raises if the bank cannot take the kernel (too narrow for quantized
+    starts).
 
     Returns (mixed_audio, replaced_mask).
     """
-    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM, mix_noise_bank_pallas
+    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM, flatten_bank, mix_noise_bank_pallas
 
     b, n = audio.shape
     if not isinstance(noise_bank, PreparedNoiseBank):
-        noise_bank = prepare_noise_bank(noise_bank, n)
+        noise_bank = prepare_noise_bank(noise_bank, n, for_pallas=use_pallas)
     if noise_bank.window != n:
         raise ValueError(
             f"noise bank was prepared for {noise_bank.window}-sample windows, got {n}"
@@ -213,10 +248,17 @@ def mix_noise_bank(
     bank_w, extended = noise_bank.bank_w, noise_bank.extended
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     rows = jax.random.randint(k1, (b,), 0, extended.shape[0])
-    quantized = bank_w >= NOISE_OFFSET_QUANTUM
+    quantized = _bank_quantized(bank_w)
+    if use_pallas and not quantized:
+        raise ValueError(
+            f"use_pallas=True requires a bank offering at least {MIN_QUANTIZED_STARTS} "
+            f"quantized ({NOISE_OFFSET_QUANTUM}-sample-aligned) window starts; width "
+            f"{bank_w} offers {-(-bank_w // NOISE_OFFSET_QUANTUM)} "
+            "(use the XLA fallback for narrow banks)"
+        )
     if quantized:
         # ceil: the last aligned start below bank_w is drawable (floor would
-        # drop it — and collapse banks in [1024, 2047] to a single start)
+        # drop one start from banks that are not an exact quantum multiple)
         offs = jax.random.randint(k2, (b,), 0, -(-bank_w // NOISE_OFFSET_QUANTUM))
         offs = offs * NOISE_OFFSET_QUANTUM
     else:
@@ -232,13 +274,19 @@ def mix_noise_bank(
         # custom call — XLA would all-gather the sharded batch around it.
         # Sharded callers that run per-device (shard_map) can pass True.
         use_pallas = (
-            quantized and jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+            quantized
+            and noise_bank.flat is not None
+            and jax.devices()[0].platform == "tpu"
+            and jax.device_count() == 1
         )
-    if use_pallas and quantized:
+    if use_pallas:
+        flat, w_ext = noise_bank.flat, noise_bank.w_ext
+        if flat is None:
+            # prepared without the Pallas view (for_pallas=False/None off-TPU)
+            # but the caller forced the kernel: derive it inline this once
+            flat, w_ext = flatten_bank(extended, n)
         interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
-        mixed = mix_noise_bank_pallas(
-            audio, noise_bank.flat, noise_bank.w_ext, rows, offs, alpha, interpret=interpret
-        )
+        mixed = mix_noise_bank_pallas(audio, flat, w_ext, rows, offs, alpha, interpret=interpret)
     else:
         # circular window = contiguous slice of the wrap-extended bank; one
         # (row, offset) pair per example (slices of shape (1, n)) instead of

@@ -62,11 +62,14 @@ def test_timeshift_onehot_matches_gather_bitwise(monkeypatch):
 
 
 def test_timeshift_fallback_geometry():
-    """A window length with no divisor in [8, 128] uses the gather path."""
+    """A window length with no divisor in [64, 128] uses the gather path."""
     from howl_tpu.ops.augment import _shift_chunk
 
     assert _shift_chunk(8000) == 125
     assert _shift_chunk(7993) == 0  # prime
+    # 7928 = 8 * 991: its only small divisors (8, 56, ...) are below the 64
+    # floor — a c=8 one-hot would materialize O(b*(n/8)^2) = GBs; must gather
+    assert _shift_chunk(7928) == 0
     cfg = dataclasses.replace(AugmentConfig(), prob=1.0, timeshift_max_s=0.1, sample_rate=16000)
     rng = np.random.default_rng(9)
     audio = jnp.asarray(rng.standard_normal((4, 7993)).astype(np.float32))
@@ -134,7 +137,7 @@ def test_mix_pallas_kernel_matches_fallback():
     assert to a 1-ulp tolerance."""
     cfg = dataclasses.replace(AugmentConfig(), prob=0.6)
     rng = np.random.default_rng(11)
-    bank = rng.standard_normal((4, 4096)).astype(np.float32)  # >= quantum wide
+    bank = rng.standard_normal((4, 8192)).astype(np.float32)  # >= 8 quanta wide
     audio = rng.standard_normal((5, 2000)).astype(np.float32)  # 5 % 8 != 0
     key = jax.random.PRNGKey(13)
     fast, rep_f = mix_noise_bank(
@@ -154,13 +157,15 @@ def test_mix_pallas_kernel_matches_fallback():
 
 
 def test_mix_offsets_quantized_for_wide_banks():
-    """Banks >= 1024 samples wide draw window starts only at multiples of the
-    DMA alignment quantum (replace mode makes windows directly observable)."""
+    """Banks >= MIN_QUANTIZED_STARTS quanta wide draw window starts only at
+    multiples of the DMA alignment quantum (replace mode makes windows
+    directly observable)."""
+    from howl_tpu.ops.augment import MIN_QUANTIZED_STARTS
     from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM
 
     cfg = dataclasses.replace(AugmentConfig(), prob=1.0)
     rng = np.random.default_rng(12)
-    bank = rng.standard_normal((3, 3 * NOISE_OFFSET_QUANTUM)).astype(np.float32)
+    bank = rng.standard_normal((3, MIN_QUANTIZED_STARTS * NOISE_OFFSET_QUANTUM)).astype(np.float32)
     audio = rng.standard_normal((16, 64)).astype(np.float32)
     mixed, replaced = mix_noise_bank(
         jnp.asarray(audio), jax.random.PRNGKey(21), jnp.asarray(bank), cfg,
@@ -180,13 +185,15 @@ def test_mix_offsets_quantized_for_wide_banks():
 
 def test_mix_draws_last_aligned_start():
     """The ceil-divided offset draw reaches the final aligned start below the
-    bank width (floor division would collapse a 1500-wide bank to start 0)."""
+    bank width (floor division would drop it for non-multiple widths)."""
+    from howl_tpu.ops.augment import MIN_QUANTIZED_STARTS as S
     from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM as Q
 
     cfg = dataclasses.replace(AugmentConfig(), prob=1.0)
     rng = np.random.default_rng(31)
-    bank = rng.standard_normal((1, Q + 476)).astype(np.float32)  # starts {0, Q}
-    audio = rng.standard_normal((64, 32)).astype(np.float32)
+    # width S*Q + 476: starts {0, Q, ..., S*Q} (ceil gives S+1 of them)
+    bank = rng.standard_normal((1, S * Q + 476)).astype(np.float32)
+    audio = rng.standard_normal((256, 32)).astype(np.float32)
     mixed, _ = mix_noise_bank(
         jnp.asarray(audio), jax.random.PRNGKey(5), jnp.asarray(bank), cfg,
         replace_prob=1.0, use_pallas=False,
@@ -194,11 +201,67 @@ def test_mix_draws_last_aligned_start():
     mixed = np.asarray(mixed)
     seen = set()
     for i in range(mixed.shape[0]):
-        for o in (0, Q):
-            # start Q wraps: window = bank[0, Q:Q+32] exists (width Q+476)
+        for o in range(0, S * Q + 1, Q):
+            # the last start S*Q wraps: window bank[0, S*Q : S*Q+32] exists
             if np.allclose(mixed[i], bank[0, o : o + 32], atol=1e-6):
                 seen.add(o)
-    assert seen == {0, Q}, f"only starts {seen} drawn"
+    assert S * Q in seen and 0 in seen, f"starts drawn: {sorted(seen)}"
+
+
+def test_mix_narrow_bank_keeps_sample_exact_starts():
+    """Banks below MIN_QUANTIZED_STARTS quanta draw sample-exact window starts
+    (quantizing a just-over-1024 bank would collapse diversity to 1-2 starts),
+    and an explicit use_pallas=True on such a bank raises instead of silently
+    taking the fallback."""
+    import pytest
+
+    from howl_tpu.ops.augment_pallas import NOISE_OFFSET_QUANTUM as Q
+
+    from howl_tpu.ops.augment import _bank_quantized
+
+    # the flagship 0.5 s recipe's (N, 8000) train bank must STAY quantized
+    # (ceil(8000/1024) = 8 starts feed the Pallas kernel, train.py:331)
+    assert _bank_quantized(8000)
+    assert not _bank_quantized(7 * Q)
+
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0)
+    rng = np.random.default_rng(41)
+    bank = rng.standard_normal((1, Q + 500)).astype(np.float32)  # 1 quantum + change
+    audio = rng.standard_normal((128, 16)).astype(np.float32)
+    mixed, _ = mix_noise_bank(
+        jnp.asarray(audio), jax.random.PRNGKey(3), jnp.asarray(bank), cfg,
+        replace_prob=1.0, use_pallas=False,
+    )
+    mixed = np.asarray(mixed)
+    doubled = np.concatenate([bank, bank[:, :16]], axis=1)
+    starts = set()
+    for i in range(mixed.shape[0]):
+        for o in range(bank.shape[1]):
+            if np.allclose(mixed[i], doubled[0, o : o + 16], atol=1e-6):
+                starts.add(o)
+                break
+    # 128 draws over 1524 sample-exact starts: far more than the 2 quantized
+    # starts this width would allow — diversity is preserved
+    assert len(starts) > 16, f"only {len(starts)} distinct starts drawn"
+    assert any(o % Q for o in starts), "all drawn starts are quantum-aligned"
+    with pytest.raises(ValueError, match="use_pallas=True requires"):
+        mix_noise_bank(
+            jnp.asarray(audio), jax.random.PRNGKey(3), jnp.asarray(bank), cfg,
+            replace_prob=1.0, use_pallas=True,
+        )
+
+
+def test_timeshift_preserves_dtype():
+    """The one-hot matmul path upcasts to f32 internally but must hand back
+    the caller's dtype (bf16 training batches) like the gather path does."""
+    cfg = dataclasses.replace(AugmentConfig(), prob=0.7, timeshift_max_s=0.25, sample_rate=16000)
+    rng = np.random.default_rng(13)
+    from howl_tpu.ops import augment
+
+    assert augment._shift_chunk(8000) > 0  # exercises the matmul path
+    audio = jnp.asarray(rng.standard_normal((4, 8000)).astype(np.float32)).astype(jnp.bfloat16)
+    out = timeshift(audio, jax.random.PRNGKey(6), cfg)
+    assert out.dtype == jnp.bfloat16
 
 
 def test_mix_prepared_bank_matches_raw_and_validates_window():
@@ -210,7 +273,7 @@ def test_mix_prepared_bank_matches_raw_and_validates_window():
 
     cfg = dataclasses.replace(AugmentConfig(), prob=0.7)
     rng = np.random.default_rng(17)
-    bank = rng.standard_normal((3, 4096)).astype(np.float32)
+    bank = rng.standard_normal((3, 8192)).astype(np.float32)
     audio = rng.standard_normal((6, 2000)).astype(np.float32)
     prep = prepare_noise_bank(jnp.asarray(bank), 2000)
     for use_pallas in (False, True):
