@@ -50,24 +50,38 @@ def _shift_chunk(n: int) -> int:
     return 0
 
 
-def timeshift(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+# the chunk-grid shift must offer at least this many distinct magnitudes per
+# direction, or the op falls back to sample-exact gathers (a grid coarser
+# than this would visibly collapse the augmentation's shift diversity)
+_MIN_SHIFT_STEPS = 8
+
+
+def timeshift(
+    audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig, _force_gather: bool = False
+) -> jnp.ndarray:
     """Random shift left/right by up to ``timeshift_max_s`` (zero-filled).
 
     The reference crops up to half the clip from one side (transform.py:120-144);
     with fixed shapes a shift + zero mask is the equivalent operation.
 
-    The shift itself runs as two one-hot permutation MATMULS (whole-chunk
-    shift on a chunk axis, then the in-chunk residual over a 2-chunk window):
-    per-row gathers are hostile to the TPU (a vmapped dynamic_slice measured
-    3.1 ms for (1024, 8000) on v5e vs 1.3 ms for this form — and per-ELEMENT
-    take_along_axis ~9 ms at an eighth the batch), while one-hot x f32 at
-    Precision.HIGHEST is MXU work and bitwise identical to the gather for
-    finite audio. Skipped rows are additionally passed through verbatim with
-    a final select (the identity one-hot alone would still rewrite them
-    through the matmul, flipping -0.0 and spreading any non-finite sample);
-    for APPLIED rows a non-finite input sample NaNs its whole 2-chunk
-    one-hot neighborhood rather than staying put — corrupt PCM should be
-    rejected upstream either way.
+    Per-row gathers are hostile to the TPU (a vmapped dynamic_slice measured
+    3.1 ms for (1024, 8000) on v5e — and per-ELEMENT take_along_axis ~9 ms at
+    an eighth the batch), so for production window lengths the shift runs as
+    ONE one-hot permutation matmul over whole chunks: shifts are quantized to
+    the chunk grid (c = 125 samples = 7.8 ms at the 0.5 s recipe — the same
+    rationale as the noise-bank NOISE_OFFSET_QUANTUM: sub-chunk shift
+    resolution carries no augmentation value, while the in-chunk residual
+    stage it replaces cost a second GEMM against a 2x-wider one-hot, the
+    step's largest HBM write). one-hot x f32 at Precision.HIGHEST is bitwise
+    identical to a gather at the same quantized starts (``_force_gather``
+    routes through that gather for the parity test). Windows whose chunk grid
+    would offer < _MIN_SHIFT_STEPS distinct magnitudes (or with no chunk
+    divisor at all) keep SAMPLE-exact shifts via the gather. Skipped rows are
+    passed through verbatim with a final select (the identity one-hot alone
+    would still rewrite them through the matmul, flipping -0.0 and spreading
+    any non-finite sample); for APPLIED rows a non-finite input sample NaNs
+    its whole one-hot neighborhood rather than staying put — corrupt PCM
+    should be rejected upstream either way.
     """
     b, n = audio.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -81,28 +95,28 @@ def timeshift(audio: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
     apply = _per_example_mask(k3, b, cfg.prob)
     del k4
     c = _shift_chunk(n)
-    if c == 0:
-        # no usable chunk divisor: per-row contiguous-slice gather fallback
+    if c == 0 or pad // c < _MIN_SHIFT_STEPS:
+        # sample-exact per-row contiguous-slice gather (small windows are
+        # cheap to gather; quantizing them would collapse shift diversity)
         padded = jnp.pad(audio, ((0, 0), (pad, pad)))
         starts = jnp.where(apply, jnp.clip(pad - shift, 0, 2 * pad), pad)
         return jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (n,)))(padded, starts)
     pad_c = -(-pad // c) * c  # zero-pad rounded up to whole chunks
-    starts = jnp.where(apply, jnp.clip(pad_c - shift, pad_c - pad, pad_c + pad), pad_c)
-    q, r = starts // c, starts % c
+    kq = pad_c // c
+    q_shift = jnp.clip(jnp.round(shift / c).astype(jnp.int32), -kq, kq)
+    q = jnp.where(apply, kq - q_shift, kq)  # start chunk per row
+    if _force_gather:
+        padded = jnp.pad(audio, ((0, 0), (pad_c, pad_c)))
+        return jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (n,)))(padded, q * c)
     k_in = (n + 2 * pad_c) // c
-    k_out = n // c + 1  # one spill chunk feeds the residual stage when r > 0
+    k_out = n // c
     # exact one-hot products need f32 operands; sub-f32 audio round-trips
     # losslessly (the permutation only moves values), cast back at the select
     padded = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad_c, pad_c))).reshape(b, k_in, c)
-    oh1 = (q[:, None, None] + jnp.arange(k_out)[:, None] == jnp.arange(k_in)[None, :]).astype(
+    oh = (q[:, None, None] + jnp.arange(k_out)[:, None] == jnp.arange(k_in)[None, :]).astype(
         jnp.float32
     )
-    z = jnp.einsum("bkc,bjk->bjc", padded, oh1, precision=jax.lax.Precision.HIGHEST)
-    z2 = jnp.concatenate([z[:, :-1], z[:, 1:]], axis=2)  # (b, n//c, 2c)
-    oh2 = (jnp.arange(c)[:, None] + r[:, None, None] == jnp.arange(2 * c)[None, :]).astype(
-        jnp.float32
-    )
-    out = jnp.einsum("bjs,bts->bjt", z2, oh2, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bkc,bjk->bjc", padded, oh, precision=jax.lax.Precision.HIGHEST)
     return jnp.where(apply[:, None], out.reshape(b, n).astype(audio.dtype), audio)
 
 

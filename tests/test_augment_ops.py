@@ -44,10 +44,11 @@ def test_timeshift_is_zero_filled_roll():
         assert matches, f"row {i} is not any zero-filled roll of the input"
 
 
-def test_timeshift_onehot_matches_gather_bitwise(monkeypatch):
-    """The one-hot permutation-matmul shift is bitwise identical to the
-    per-row dynamic_slice gather it replaced (HIGHEST-precision one-hot x f32
-    products are exact), including rows the prob mask skips."""
+def test_timeshift_onehot_matches_gather_bitwise():
+    """The one-hot permutation-matmul shift is bitwise identical to a per-row
+    dynamic_slice gather at the same (chunk-quantized) starts
+    (HIGHEST-precision one-hot x f32 products are exact), including rows the
+    prob mask skips."""
     from howl_tpu.ops import augment
 
     cfg = dataclasses.replace(AugmentConfig(), prob=0.6, timeshift_max_s=0.25, sample_rate=16000)
@@ -55,10 +56,44 @@ def test_timeshift_onehot_matches_gather_bitwise(monkeypatch):
     audio = jnp.asarray(rng.standard_normal((8, 8000)).astype(np.float32))
     assert augment._shift_chunk(8000) > 0
     fast = np.asarray(timeshift(audio, jax.random.PRNGKey(11), cfg))
-    monkeypatch.setattr(augment, "_shift_chunk", lambda n: 0)
-    slow = np.asarray(timeshift(audio, jax.random.PRNGKey(11), cfg))
+    slow = np.asarray(timeshift(audio, jax.random.PRNGKey(11), cfg, _force_gather=True))
     np.testing.assert_array_equal(fast, slow)
     assert not np.array_equal(fast, np.asarray(audio))  # something shifted
+
+
+def test_timeshift_matmul_shifts_are_chunk_quantized():
+    """Production windows shift on the chunk grid (c = 125 at n = 8000): every
+    applied row is a zero-filled roll by a multiple of c, and the grid's
+    extremes are reachable. Small windows (grid coarser than _MIN_SHIFT_STEPS)
+    keep sample-exact shifts via the gather."""
+    from howl_tpu.ops import augment
+
+    cfg = dataclasses.replace(AugmentConfig(), prob=1.0, timeshift_max_s=0.25, sample_rate=16000)
+    rng = np.random.default_rng(19)
+    n, c = 8000, augment._shift_chunk(8000)
+    audio = rng.standard_normal((64, n)).astype(np.float32)
+    out = np.asarray(timeshift(jnp.asarray(audio), jax.random.PRNGKey(2), cfg))
+    pad = n // 2
+    shifts = []
+    for i in range(out.shape[0]):
+        match = [s for s in range(-pad, pad + 1, c)
+                 if np.array_equal(out[i], _roll_zero(audio[i], s))]
+        assert match, f"row {i} is not a chunk-grid roll"
+        shifts.append(match[0])
+    assert len({abs(s) for s in shifts}) >= augment._MIN_SHIFT_STEPS // 2  # diverse grid
+    # small window: gate trips (16-sample max shift vs 64-sample chunks) ->
+    # sample-exact gather; at prob=1 some row must shift by a NON-multiple of
+    # the would-be chunk
+    cfg_small = dataclasses.replace(AugmentConfig(), prob=1.0, timeshift_max_s=0.25, sample_rate=64)
+    small = rng.standard_normal((32, 64)).astype(np.float32)
+    out_s = np.asarray(timeshift(jnp.asarray(small), jax.random.PRNGKey(3), cfg_small))
+    small_shifts = set()
+    for i in range(out_s.shape[0]):
+        for s in range(-16, 17):
+            if np.array_equal(out_s[i], _roll_zero(small[i], s)):
+                small_shifts.add(s)
+                break
+    assert any(s % 64 for s in small_shifts), f"small-window shifts quantized: {small_shifts}"
 
 
 def test_timeshift_fallback_geometry():
