@@ -7,14 +7,17 @@ snapshot (``settings.json``, ref workspace.py:69-81). This module converts
 such a workspace into a howl_tpu one, so models trained with the reference —
 including the published ``hey_fire_fox`` res8 — serve on TPU without
 retraining: ``hub.load_workspace_engine`` (and every serving engine behind
-it) loads the imported workspace like a native one.
+it) loads the imported workspace like a native one. Supported families:
+res8, lstm, seq-lstm, gru, las (every architecture the reference trains;
+mobilenet is excluded — its torchvision backbone has no flax counterpart
+here, see PARITY.md).
 
 Weight layout is the exact inverse of export_honkling's flax->torch mapping:
 torch OIHW conv kernels -> flax HWIO, torch (out, in) linear kernels ->
-flax (in, out), BatchNorm running_mean/running_var -> batch_stats mean/var
-(the reference res8's BatchNorm is affine-less, ref howl/model/cnn.py:123,
-so running stats are the only BN state). Logit parity against the actual
-reference Res8 is asserted in tests/test_torch_import.py.
+flax (in, out), BatchNorm affine + running stats -> scale/bias +
+batch_stats mean/var, torch LSTM/GRU gate stacks -> flax per-gate Dense
+layers (see the per-family helpers). Logit parity against the actual
+reference models is asserted per family in tests/test_torch_import.py.
 
 torch is imported lazily: the converter is the only part of the serving
 stack that needs it, and only at migration time.
@@ -30,7 +33,7 @@ import numpy as np
 
 # model families with a torch->flax weight mapping; extend as mappings are
 # validated (each needs a differential logit-parity test vs the reference)
-SUPPORTED_IMPORT_FAMILIES = ("res8",)
+SUPPORTED_IMPORT_FAMILIES = ("res8", "lstm", "seq-lstm", "gru", "las")
 
 
 def reference_settings_to_dict(ref_data: dict) -> dict:
@@ -76,15 +79,175 @@ def res8_torch_state_to_variables(state_dict: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _arr_fn(state_dict: dict):
+    def arr(name):
+        try:
+            t = state_dict[name]
+        except KeyError as e:
+            raise ValueError(
+                f"state_dict is missing {name!r} — unexpected reference checkpoint "
+                f"layout (keys: {sorted(state_dict)[:8]}...)"
+            ) from e
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t, np.float32)
+
+    return arr
+
+
+def _lstm_cell_params(arr, torch_prefix: str, suffix: str = "", input_perm=None) -> dict:
+    """torch nn.LSTM layer-0 tensors -> flax OptimizedLSTMCell params.
+
+    torch stacks gates [i, f, g, o] along dim 0 (4H, ...) with separate
+    b_ih/b_hh; flax keeps per-gate Dense layers — i-side without bias, h-side
+    carrying the (summed) bias. The gate equations are term-for-term equal.
+    ``input_perm`` reorders the i-side input axis (flax index -> torch
+    index) when the two sides flatten per-frame features differently."""
+    w_ih = arr(f"{torch_prefix}.weight_ih_l0{suffix}")
+    w_hh = arr(f"{torch_prefix}.weight_hh_l0{suffix}")
+    b_ih = arr(f"{torch_prefix}.bias_ih_l0{suffix}")
+    b_hh = arr(f"{torch_prefix}.bias_hh_l0{suffix}")
+    gates = "ifgo"
+    wi = dict(zip(gates, np.split(w_ih, 4, axis=0)))
+    wh = dict(zip(gates, np.split(w_hh, 4, axis=0)))
+    bi = dict(zip(gates, np.split(b_ih, 4, axis=0)))
+    bh = dict(zip(gates, np.split(b_hh, 4, axis=0)))
+    cell = {}
+    for g in gates:
+        wg = wi[g] if input_perm is None else wi[g][:, input_perm]
+        cell[f"i{g}"] = {"kernel": wg.T}
+        cell[f"h{g}"] = {"kernel": wh[g].T, "bias": bi[g] + bh[g]}
+    return cell
+
+
+def _gru_cell_params(arr, torch_prefix: str) -> dict:
+    """torch nn.GRU layer-0 tensors -> flax GRUCell params. torch gate order
+    is [r, z, n]. r/z sigmoids sum all four linear terms, so both torch
+    biases fold into flax's i-side bias; the n gate keeps them split (torch
+    computes tanh(W_in x + b_in + r*(W_hn h + b_hn)), exactly flax's form)."""
+    w_ih = arr(f"{torch_prefix}.weight_ih_l0")
+    w_hh = arr(f"{torch_prefix}.weight_hh_l0")
+    b_ih = arr(f"{torch_prefix}.bias_ih_l0")
+    b_hh = arr(f"{torch_prefix}.bias_hh_l0")
+    gates = "rzn"
+    wi = dict(zip(gates, np.split(w_ih, 3, axis=0)))
+    wh = dict(zip(gates, np.split(w_hh, 3, axis=0)))
+    bi = dict(zip(gates, np.split(b_ih, 3, axis=0)))
+    bh = dict(zip(gates, np.split(b_hh, 3, axis=0)))
+    return {
+        "ir": {"kernel": wi["r"].T, "bias": bi["r"] + bh["r"]},
+        "iz": {"kernel": wi["z"].T, "bias": bi["z"] + bh["z"]},
+        "in": {"kernel": wi["n"].T, "bias": bi["n"]},
+        "hr": {"kernel": wh["r"].T},
+        "hz": {"kernel": wh["z"].T},
+        "hn": {"kernel": wh["n"].T, "bias": bh["n"]},
+    }
+
+
+def _conv_ft(arr, name: str) -> np.ndarray:
+    """torch Conv2d kernel over an UNPERMUTED (B, C, F, T) input -> flax HWIO
+    with H=time: (O, I, kF, kT) -> (kT, kF, I, O). (res8 permutes to (time,
+    freq) first, hence its different (2, 3, 1, 0) transpose.)"""
+    return arr(name).transpose(3, 2, 1, 0)
+
+
+def _linear(arr, name: str) -> dict:
+    return {"kernel": arr(f"{name}.weight").T, "bias": arr(f"{name}.bias")}
+
+
+def _bn(arr, name: str):
+    """torch affine BatchNorm2d -> (flax params, flax batch_stats)."""
+    params = {"scale": arr(f"{name}.weight"), "bias": arr(f"{name}.bias")}
+    stats = {"mean": arr(f"{name}.running_mean"), "var": arr(f"{name}.running_var")}
+    return params, stats
+
+
+def lstm_torch_state_to_variables(state_dict: dict) -> dict:
+    """Reference SimpleLstm / SequentialLstm (ref rnn.py:41-92): one nn.LSTM
+    + Sequential(Linear, ReLU, Linear) head — identical layouts."""
+    arr = _arr_fn(state_dict)
+    return {
+        "params": {
+            "OptimizedLSTMCell_0": _lstm_cell_params(arr, "lstm"),
+            "fc1": _linear(arr, "dnn.0"),
+            "fc2": _linear(arr, "dnn.2"),
+        }
+    }
+
+
+def gru_torch_state_to_variables(state_dict: dict) -> dict:
+    """Reference SimpleGru (ref rnn.py:94-129): conv encoder Sequential
+    [conv1, bn1, relu, maxpool, conv2, relu, bn2] + GRU + MLP head."""
+    arr = _arr_fn(state_dict)
+    bn1_p, bn1_s = _bn(arr, "conv_encoder.1")
+    bn2_p, bn2_s = _bn(arr, "conv_encoder.6")
+    params = {
+        "conv1": {"kernel": _conv_ft(arr, "conv_encoder.0.weight"), "bias": arr("conv_encoder.0.bias")},
+        "bn1": bn1_p,
+        "conv2": {"kernel": _conv_ft(arr, "conv_encoder.4.weight"), "bias": arr("conv_encoder.4.bias")},
+        "bn2": bn2_p,
+        "GRUCell_0": _gru_cell_params(arr, "lstm_encoder"),
+        "fc1": _linear(arr, "dnn.0"),
+        "fc2": _linear(arr, "dnn.3"),
+    }
+    return {"params": params, "batch_stats": {"bn1": bn1_s, "bn2": bn2_s}}
+
+
+def las_torch_state_to_variables(state_dict: dict) -> dict:
+    """Reference LASClassifier (ref rnn.py:194-222): conv encoder Sequential
+    [conv1, bn1, relu, maxpool, conv2, bn2, relu, maxpool] + 1-layer biLSTM
+    + fixed-context attention + MLP head. Cell 0 is the forward direction,
+    cell 1 the reverse (torch's ``_reverse`` tensors)."""
+    arr = _arr_fn(state_dict)
+    if "encoder.lstm_encoder.weight_ih_l1" in state_dict:
+        raise NotImplementedError(
+            "multi-layer LAS biLSTM checkpoints are not supported (the reference "
+            "default is num_layers=1)"
+        )
+    bn1_p, bn1_s = _bn(arr, "encoder.conv_encoder.1")
+    bn2_p, bn2_s = _bn(arr, "encoder.conv_encoder.5")
+    # per-frame biLSTM inputs: torch flattens the conv output channel-major
+    # (view of (T, B, C, F'): index c*F' + f, ref rnn.py:156-158), flax
+    # freq-major ((B, T', F', C).reshape: f*C + c) — permute the ih columns
+    n_ch = arr("encoder.conv2.weight").shape[0]
+    i_total = arr("encoder.lstm_encoder.weight_ih_l0").shape[1]
+    perm = np.arange(i_total).reshape(n_ch, i_total // n_ch).T.reshape(-1)
+    params = {
+        "encoder": {
+            "conv1": {"kernel": _conv_ft(arr, "encoder.conv1.weight"), "bias": arr("encoder.conv1.bias")},
+            "bn1": bn1_p,
+            "conv2": {"kernel": _conv_ft(arr, "encoder.conv2.weight"), "bias": arr("encoder.conv2.bias")},
+            "bn2": bn2_p,
+            "OptimizedLSTMCell_0": _lstm_cell_params(arr, "encoder.lstm_encoder", input_perm=perm),
+            "OptimizedLSTMCell_1": _lstm_cell_params(arr, "encoder.lstm_encoder", "_reverse", input_perm=perm),
+        },
+        "attn": {
+            "context_vec": arr("attn.context_vec"),
+            "v_proj": _linear(arr, "attn.v_proj"),
+            "k_proj": _linear(arr, "attn.k_proj"),
+        },
+        "fc1": _linear(arr, "fc.0"),
+        "fc2": _linear(arr, "fc.3"),
+    }
+    return {"params": params, "batch_stats": {"encoder": {"bn1": bn1_s, "bn2": bn2_s}}}
+
+
+_FAMILY_CONVERTERS = {
+    "res8": res8_torch_state_to_variables,
+    "lstm": lstm_torch_state_to_variables,
+    "seq-lstm": lstm_torch_state_to_variables,
+    "gru": gru_torch_state_to_variables,
+    "las": las_torch_state_to_variables,
+}
+
+
 def torch_state_to_variables(model_name: str, state_dict: dict) -> dict:
-    if model_name == "res8":
-        return res8_torch_state_to_variables(state_dict)
-    raise NotImplementedError(
-        f"torch checkpoint import is implemented for {SUPPORTED_IMPORT_FAMILIES} "
-        f"(the reference's published-model family); got {model_name!r}. Other "
-        "families can be retrained with howl_tpu.training.run.train on the same "
-        "datasets/recipes."
-    )
+    converter = _FAMILY_CONVERTERS.get(model_name)
+    if converter is None:
+        raise NotImplementedError(
+            f"torch checkpoint import is implemented for {SUPPORTED_IMPORT_FAMILIES}; "
+            f"got {model_name!r}. Other families can be retrained with "
+            "howl_tpu.training.run.train on the same datasets/recipes."
+        )
+    return converter(state_dict)
 
 
 def _torch_load(path: Path):

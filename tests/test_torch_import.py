@@ -168,12 +168,76 @@ def test_imported_workspace_serves_and_decides_like_the_reference_weights(tmp_pa
 def test_import_unsupported_family_raises(tmp_path, ref_res8):
     torch, Res8 = ref_res8
     src, _ = _make_reference_workspace(tmp_path, torch, Res8)
-    (src / "cmd-args.json").write_text(json.dumps({"model": "lstm"}))
+    # mobilenet's torchvision backbone has no flax counterpart (PARITY.md)
+    (src / "cmd-args.json").write_text(json.dumps({"model": "mobilenet"}))
 
     from howl_tpu.compat import import_reference_workspace
 
     with pytest.raises(NotImplementedError, match="res8"):
         import_reference_workspace(src, tmp_path / "tpu_ws3")
+
+
+@pytest.fixture(scope="module")
+def ref_rnn(ref_res8):
+    """The actual reference RNN model classes (same stubbed import)."""
+    torch, _ = ref_res8
+    from howl.model.rnn import LASClassifier, SequentialLstm, SimpleGru, SimpleLstm
+
+    return torch, {"lstm": SimpleLstm, "seq-lstm": SequentialLstm, "gru": SimpleGru, "las": LASClassifier}
+
+
+@pytest.mark.parametrize("family", ["lstm", "seq-lstm", "gru", "las"])
+def test_rnn_family_import_logit_parity(family, ref_rnn):
+    """Converted lstm/seq-lstm/gru/las weights produce the reference model's
+    outputs on the same features (gate order, bias folding, conv layout, and
+    biLSTM direction mapping are all observable here)."""
+    torch, classes = ref_rnn
+    import jax
+
+    from howl_tpu.compat import torch_state_to_variables
+    from howl_tpu.models import create_model
+
+    torch.manual_seed(hash(family) % (2**31))
+    ref_model = classes[family](4)
+    if family == "gru":  # exercise non-init BN running stats
+        ref_model.train()
+        with torch.no_grad():
+            for _ in range(3):
+                ref_model(torch.randn(4, 1, 40, 61), torch.tensor([61] * 4))
+    if family == "las":
+        ref_model.train()
+        with torch.no_grad():
+            for _ in range(3):
+                ref_model(torch.randn(4, 3, 40, 61), None)
+    ref_model.eval()
+
+    variables = torch_state_to_variables(family, ref_model.state_dict())
+    model = create_model(family, num_labels=4)
+
+    rng = np.random.default_rng(29)
+    channels = 3 if family == "las" else 1
+    feats = rng.standard_normal((3, channels, 40, 61)).astype(np.float32)
+    lengths = np.full((3,), 61, np.int32)
+
+    # validate the converted tree against the model's own init template
+    template = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        feats, lengths=jax.numpy.asarray(lengths), train=False,
+    )
+    tstruct = jax.tree_util.tree_structure(template)
+    vstruct = jax.tree_util.tree_structure(
+        {k: variables[k] for k in template} if set(variables) <= set(template) else variables
+    )
+    assert tstruct == vstruct, f"converted tree mismatch: {tstruct} vs {vstruct}"
+
+    ours = np.asarray(
+        model.apply(variables, feats, lengths=jax.numpy.asarray(lengths), train=False)
+    )
+    with torch.no_grad():
+        t_feats = torch.from_numpy(feats.copy())
+        t_lens = torch.tensor([61, 61, 61])
+        theirs = ref_model(t_feats, t_lens).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
 
 
 def test_import_cli_entry_point(tmp_path, ref_res8):
