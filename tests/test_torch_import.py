@@ -253,6 +253,28 @@ def test_import_cli_entry_point(tmp_path, ref_res8):
     assert json.loads((dst / "cmd-args.json").read_text())["model"] == "res8"
 
 
+def test_import_export_round_trip(tmp_path, ref_res8):
+    """compat import is the exact inverse of export_honkling's mapping: a
+    reference res8 state_dict -> flax -> torch-layout dict reproduces every
+    original tensor bit-for-bit (pure transposes both ways)."""
+    torch, Res8 = ref_res8
+
+    from howl_tpu.compat import res8_torch_state_to_variables
+    from howl_tpu.training.run.export_honkling import res8_variables_to_torch_dict
+
+    torch.manual_seed(3)
+    model = Res8(4).eval()
+    sd = model.state_dict()
+    variables = res8_torch_state_to_variables(sd)
+    back = res8_variables_to_torch_dict(variables)
+    for name, tensor in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(back[name], np.float32), tensor.numpy(), err_msg=name
+        )
+
+
 def test_import_requires_model_name_without_cmd_args(tmp_path, ref_res8):
     torch, Res8 = ref_res8
     src, _ = _make_reference_workspace(tmp_path, torch, Res8)
