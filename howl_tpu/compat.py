@@ -40,9 +40,15 @@ def reference_settings_to_dict(ref_data: dict) -> dict:
     """Reference settings.json (keys ``_audio``, ``_training``, ... — ref
     workspace.py:69-73 gather_dict over the SETTINGS sections) -> the key
     layout ``HowlSettings.load_dict`` consumes. Field names are shared (both
-    sides preserve the reference's env-var names); unknown reference-only
-    fields (e.g. ``device``) are dropped by load_dict's known-field filter."""
-    return {key.lstrip("_"): value for key, value in ref_data.items() if isinstance(value, dict)}
+    sides preserve the reference's env-var names); reference-only fields are
+    dropped by load_dict's known-field filter, and ``device`` is dropped here
+    explicitly — it IS a howl_tpu field (a jax platform preference) but the
+    reference's value is a torch device string like 'cuda:0'."""
+    out = {}
+    for key, value in ref_data.items():
+        if isinstance(value, dict):
+            out[key.lstrip("_")] = {k: v for k, v in value.items() if k != "device"}
+    return out
 
 
 def res8_torch_state_to_variables(state_dict: dict) -> dict:
@@ -50,17 +56,7 @@ def res8_torch_state_to_variables(state_dict: dict) -> dict:
     howl/model/cnn.py:113-145) -> flax variables for howl_tpu's Res8 (same
     parameter names, models/cnn.py). Inverse of
     export_honkling.res8_variables_to_torch_dict."""
-
-    def arr(name):
-        try:
-            t = state_dict[name]
-        except KeyError as e:
-            raise ValueError(
-                f"state_dict is missing {name!r} — not a reference res8 checkpoint? "
-                f"(keys: {sorted(state_dict)[:8]}...)"
-            ) from e
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t, np.float32)
-
+    arr = _arr_fn(state_dict)
     params = {}
     stats = {}
     for i in range(7):
@@ -284,6 +280,14 @@ def import_reference_workspace(
                 "model_name not given and the source cmd-args.json is missing/has no "
                 "'model' entry — pass the architecture explicitly (e.g. 'res8')"
             )
+    if model_name not in _FAMILY_CONVERTERS:
+        # validate BEFORE creating the destination: a half-written workspace
+        # (settings + cmd-args but no model) would fail confusingly at load
+        raise NotImplementedError(
+            f"torch checkpoint import is implemented for {SUPPORTED_IMPORT_FAMILIES}; "
+            f"got {model_name!r}. Other families can be retrained with "
+            "howl_tpu.training.run.train on the same datasets/recipes."
+        )
 
     # settings snapshot: reference section keys carry a leading underscore
     settings = HowlSettings()
@@ -299,22 +303,27 @@ def import_reference_workspace(
     if zmuv_path.exists():
         z = {k: float(np.asarray(v.detach().cpu() if hasattr(v, "detach") else v).reshape(-1)[0])
              for k, v in _torch_load(zmuv_path).items()}
-        workspace.save_zmuv(ZmuvTransform(z.get("mean", 0.0), z.get("mean2", 0.0), z.get("total", 0.0)))
+        try:
+            # strict: a zmuv file missing its stats must fail HERE, not serve
+            # garbage-normalized features later (mean2=0 would give std~1e-6)
+            workspace.save_zmuv(ZmuvTransform(z["mean"], z["mean2"], z["total"]))
+        except KeyError as e:
+            raise ValueError(
+                f"{zmuv_path} lacks the reference ZmuvTransform buffers "
+                f"(total/mean/mean2, ref operator.py:119-125); found {sorted(z)}"
+            ) from e
 
-    converted = 0
+    converted = {}
     for fname, best in (("model-best.pt.bin", True), ("model.pt.bin", False)):
         path = src / fname
         if not path.exists():
             continue
-        variables = torch_state_to_variables(model_name, _torch_load(path))
-        workspace.save_model(variables, best=best)
-        converted += 1
+        converted[best] = torch_state_to_variables(model_name, _torch_load(path))
+        workspace.save_model(converted[best], best=best)
     if not converted:
         raise FileNotFoundError(f"{src} has neither model-best.pt.bin nor model.pt.bin")
-    # hub.load_workspace_engine defaults to best=True; a source with only the
-    # non-best checkpoint still must serve
-    if not workspace.model_path(best=True).exists():
-        workspace.save_model(
-            torch_state_to_variables(model_name, _torch_load(src / "model.pt.bin")), best=True
-        )
+    if True not in converted:
+        # hub.load_workspace_engine defaults to best=True; a source with only
+        # the non-best checkpoint still must serve
+        workspace.save_model(converted[False], best=True)
     return workspace

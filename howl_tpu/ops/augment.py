@@ -38,22 +38,27 @@ def _per_example_mask(key, batch: int, prob: float):
     return jax.random.bernoulli(key, prob, (batch,))
 
 
-def _shift_chunk(n: int) -> int:
-    """Largest divisor of n in [64, 128] for the one-hot chunked shift; 0 if
-    none exists (fall back to the per-row dynamic_slice gather). The floor of
-    64 bounds the stage-1 one-hot at O(b * (n/64)^2): smaller divisors make
-    the permutation matrices dwarf the gather they replace (c=8 at n=7928
-    would materialize a 7.5 GB one-hot for a 1024-row batch)."""
-    for c in range(128, 63, -1):
-        if n % c == 0:
-            return c
-    return 0
-
-
 # the chunk-grid shift must offer at least this many distinct magnitudes per
 # direction, or the op falls back to sample-exact gathers (a grid coarser
 # than this would visibly collapse the augmentation's shift diversity)
 _MIN_SHIFT_STEPS = 8
+
+
+def _shift_chunk(n: int, pad: int = None) -> int:
+    """Largest divisor of n in [64, 128] for the one-hot chunked shift whose
+    grid still offers >= _MIN_SHIFT_STEPS distinct shift magnitudes within
+    ``pad`` (default: the n//2 maximum); 0 if none exists (fall back to the
+    per-row dynamic_slice gather). The floor of 64 bounds the one-hot at
+    O(b * (n/64)^2): smaller divisors make the permutation matrix dwarf the
+    gather it replaces (c=8 at n=7928 would materialize a 7.5 GB one-hot for
+    a 1024-row batch). A small shift range prefers a smaller chunk (e.g.
+    pad=800 at n=8000 picks c=100, 8 steps) over losing the matmul."""
+    if pad is None:
+        pad = n // 2
+    for c in range(128, 63, -1):
+        if n % c == 0 and pad // c >= _MIN_SHIFT_STEPS:
+            return c
+    return 0
 
 
 def timeshift(
@@ -94,10 +99,11 @@ def timeshift(
     shift = jnp.where(left, -max_shift, max_shift)
     apply = _per_example_mask(k3, b, cfg.prob)
     del k4
-    c = _shift_chunk(n)
-    if c == 0 or pad // c < _MIN_SHIFT_STEPS:
-        # sample-exact per-row contiguous-slice gather (small windows are
-        # cheap to gather; quantizing them would collapse shift diversity)
+    c = _shift_chunk(n, pad)
+    if c == 0:
+        # sample-exact per-row contiguous-slice gather: no divisor satisfies
+        # the grid (window has no [64, 128] divisor, or the shift range is
+        # tiny — quantizing it would collapse shift diversity)
         padded = jnp.pad(audio, ((0, 0), (pad, pad)))
         starts = jnp.where(apply, jnp.clip(pad - shift, 0, 2 * pad), pad)
         return jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (n,)))(padded, starts)

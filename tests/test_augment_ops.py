@@ -105,6 +105,11 @@ def test_timeshift_fallback_geometry():
     # 7928 = 8 * 991: its only small divisors (8, 56, ...) are below the 64
     # floor — a c=8 one-hot would materialize O(b*(n/8)^2) = GBs; must gather
     assert _shift_chunk(7928) == 0
+    # a small shift range picks a smaller chunk that still offers >= 8 steps
+    # instead of losing the matmul (timeshift_max_s=0.05 -> pad=800)
+    assert _shift_chunk(8000, pad=800) == 100
+    # and a tiny range (no divisor can give 8 steps) falls back to the gather
+    assert _shift_chunk(8000, pad=300) == 0
     cfg = dataclasses.replace(AugmentConfig(), prob=1.0, timeshift_max_s=0.1, sample_rate=16000)
     rng = np.random.default_rng(9)
     audio = jnp.asarray(rng.standard_normal((4, 7993)).astype(np.float32))
