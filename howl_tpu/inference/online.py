@@ -269,6 +269,7 @@ class IncrementalOnlineEngine:
         self.carry = None
         self.curr_time = 0.0
         self.last_labels = None
+        self.last_fired = None
 
     def shard_streams(self, mesh):
         """Serve the streams SPMD over the mesh's ``data`` axis (see
@@ -320,4 +321,5 @@ class IncrementalOnlineEngine:
         )
         self.curr_time += self.stride_ms
         self.last_labels = label
+        self.last_fired = fired_now  # (num_streams,) — per-stream fire flags
         return bool(np.asarray(fired_now).any())

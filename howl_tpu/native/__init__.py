@@ -25,8 +25,14 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        # always invoke make: a no-op when fresh, and a stale .so from before
+        # a source change would lack newer symbols (make owns the dependency).
+        # A toolchain-less host with a prebuilt .so still loads it.
+        try:
             subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        except Exception:  # noqa: BLE001
+            if not _LIB_PATH.exists():
+                raise
         lib = ctypes.CDLL(str(_LIB_PATH))
     except Exception:  # noqa: BLE001 — no toolchain / load failure -> fallback
         _load_failed = True
@@ -52,6 +58,15 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.mux_create.restype = ctypes.c_void_p
+    lib.mux_create.argtypes = [c_i64, c_i64]
+    lib.mux_destroy.argtypes = [ctypes.c_void_p]
+    lib.mux_push_f32.argtypes = [ctypes.c_void_p, c_i64, c_f32p, c_i64]
+    lib.mux_push_i16.argtypes = [ctypes.c_void_p, c_i64, c_i16p, c_i64]
+    lib.mux_pending.restype = c_i64
+    lib.mux_pending.argtypes = [ctypes.c_void_p, c_i64]
+    lib.mux_gather.restype = c_i64
+    lib.mux_gather.argtypes = [ctypes.c_void_p, c_f32p, c_i64, ctypes.POINTER(ctypes.c_int8)]
     _lib = lib
     return _lib
 
@@ -119,6 +134,96 @@ class NativeRingBuffer:
     def __del__(self):
         if getattr(self, "_lib", None) is not None and getattr(self, "_handle", None):
             self._lib.ring_destroy(self._handle)
+            self._handle = None
+
+
+class NativeStreamMux:
+    """N per-stream SPSC PCM rings drained in lockstep into (N, hop) float32
+    batches — the host-side feeder for the batched online engines. One
+    producer thread per stream may ``push``; ONE consumer calls ``gather``.
+
+    Per-tick policy (mux_gather in native/howl_native.cpp): a stream with
+    fewer than ``hop`` unread samples contributes zeros and is NOT consumed
+    (late audio serves on a later tick — latency, never corruption); a stream
+    whose producer lapped its ring skips to the oldest live sample (oldest
+    audio dropped, status -1)."""
+
+    def __init__(self, n_streams: int, capacity: int):
+        if capacity < 1:
+            raise ValueError("capacity must be positive")
+        lib = _ensure_built()
+        self._lib = lib
+        self.n_streams = int(n_streams)
+        self.capacity = int(capacity)
+        if lib is not None:
+            self._handle = lib.mux_create(self.n_streams, self.capacity)
+        else:  # pure-python fallback (single-threaded semantics)
+            self._handle = None
+            self._buf = np.zeros((self.n_streams, self.capacity), np.float32)
+            self._write = np.zeros(self.n_streams, np.int64)
+            self._read = np.zeros(self.n_streams, np.int64)
+
+    def push(self, stream: int, pcm):
+        """Append one stream's newest audio: float32 array or int16 PCM bytes."""
+        if not 0 <= stream < self.n_streams:
+            raise IndexError(f"stream {stream} out of range [0, {self.n_streams})")
+        if isinstance(pcm, (bytes, bytearray)):
+            arr = np.frombuffer(pcm, dtype="<i2")
+            if self._lib is not None:
+                self._lib.mux_push_i16(
+                    self._handle, stream, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(arr)
+                )
+                return
+            audio = arr.astype(np.float32) / 32768.0
+        else:
+            audio = np.ascontiguousarray(pcm, np.float32)
+        if self._lib is not None:
+            self._lib.mux_push_f32(
+                self._handle, stream, audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(audio)
+            )
+        else:
+            idx = (self._write[stream] + np.arange(len(audio))) % self.capacity
+            self._buf[stream, idx] = audio
+            self._write[stream] += len(audio)
+
+    def pending(self, stream: int) -> int:
+        if self._lib is not None:
+            return int(self._lib.mux_pending(self._handle, stream))
+        return int(self._write[stream] - self._read[stream])
+
+    def gather(self, hop: int):
+        """Next ``hop`` samples of every stream -> ((N, hop) f32 batch,
+        (N,) int8 status: 1 ok / 0 underrun / -1 overrun-skip)."""
+        if hop > self.capacity:
+            raise ValueError(f"gather({hop}) exceeds per-stream capacity {self.capacity}")
+        out = np.zeros((self.n_streams, hop), np.float32)
+        status = np.zeros(self.n_streams, np.int8)
+        if self._lib is not None:
+            self._lib.mux_gather(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                hop,
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            )
+            return out, status
+        for s in range(self.n_streams):
+            wp, rp = int(self._write[s]), int(self._read[s])
+            st = 1
+            if wp - rp > self.capacity:
+                rp = wp - self.capacity
+                st = -1
+            if wp - rp < hop:
+                status[s] = 0
+                continue
+            idx = (rp + np.arange(hop)) % self.capacity
+            out[s] = self._buf[s, idx]
+            self._read[s] = rp + hop
+            status[s] = st
+        return out, status
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and getattr(self, "_handle", None):
+            self._lib.mux_destroy(self._handle)
             self._handle = None
 
 

@@ -115,6 +115,105 @@ int64_t vad_leading_silence_ms(const float* audio, int64_t n, int sample_rate,
     return ms;
 }
 
+// ------------------------------------------------------ multi-stream ingest mux
+
+// Host-side glue for BULK serving: N per-stream SPSC PCM rings drained in
+// lockstep into one contiguous (N, hop) float32 batch per 62.5 ms tick — the
+// input shape the batched online engines consume (howl_tpu/inference/
+// online.py push(), streaming_trunk.py push()). One producer thread per
+// stream (network/mic feeder) writes its row; ONE consumer (the serving
+// loop) gathers. Per-stream ordering uses the same release/acquire
+// write_pos protocol as RingBuffer; rows are independent, so producers never
+// contend with each other.
+
+struct StreamMux {
+    int64_t n_streams;
+    int64_t capacity;  // per-stream ring capacity, samples
+    float* data;       // (n_streams, capacity) row-major
+    std::atomic<int64_t>* write_pos;  // per stream: total samples ever pushed
+    int64_t* read_pos;                // consumer-owned: total samples consumed
+};
+
+StreamMux* mux_create(int64_t n_streams, int64_t capacity) {
+    auto* m = new StreamMux();
+    m->n_streams = n_streams;
+    m->capacity = capacity;
+    m->data = new float[n_streams * capacity]();
+    m->write_pos = new std::atomic<int64_t>[n_streams];
+    m->read_pos = new int64_t[n_streams]();
+    for (int64_t s = 0; s < n_streams; ++s) m->write_pos[s].store(0);
+    return m;
+}
+
+void mux_destroy(StreamMux* m) {
+    if (!m) return;
+    delete[] m->data;
+    delete[] m->write_pos;
+    delete[] m->read_pos;
+    delete m;
+}
+
+void mux_push_f32(StreamMux* m, int64_t stream, const float* pcm, int64_t n) {
+    float* row = m->data + stream * m->capacity;
+    int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
+    for (int64_t i = 0; i < n; ++i) row[(pos + i) % m->capacity] = pcm[i];
+    m->write_pos[stream].store(pos + n, std::memory_order_release);
+}
+
+void mux_push_i16(StreamMux* m, int64_t stream, const int16_t* pcm, int64_t n) {
+    float* row = m->data + stream * m->capacity;
+    int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
+    for (int64_t i = 0; i < n; ++i)
+        row[(pos + i) % m->capacity] = static_cast<float>(pcm[i]) / 32768.0f;
+    m->write_pos[stream].store(pos + n, std::memory_order_release);
+}
+
+// samples waiting for the consumer on `stream` (>= 0; may exceed capacity if
+// the producer lapped — the overrun is resolved at the next gather)
+int64_t mux_pending(const StreamMux* m, int64_t stream) {
+    return m->write_pos[stream].load(std::memory_order_acquire) - m->read_pos[stream];
+}
+
+// Gather the next `hop` samples of EVERY stream into out (n_streams, hop):
+//   status[s] = 1  ok — hop real samples consumed;
+//   status[s] = 0  underrun — fewer than hop unread samples: the row is
+//                  zero-filled and read_pos does NOT advance (the stream's
+//                  audio is served on a later tick; a persistently late
+//                  producer adds latency, never corruption);
+//   status[s] = -1 overrun — the producer lapped the ring: read_pos skips to
+//                  the oldest still-live sample (write - capacity), dropping
+//                  the overwritten audio, then the hop is consumed.
+// Returns the number of status==1||-1 streams (rows carrying real audio).
+int64_t mux_gather(StreamMux* m, float* out, int64_t hop, int8_t* status) {
+    int64_t ok = 0;
+    for (int64_t s = 0; s < m->n_streams; ++s) {
+        const float* row = m->data + s * m->capacity;
+        float* dst = out + s * hop;
+        for (;;) {  // seqlock-style: retry if the producer laps the copied span
+            int64_t wp = m->write_pos[s].load(std::memory_order_acquire);
+            int64_t rp = m->read_pos[s];
+            int8_t st = 1;
+            if (wp - rp > m->capacity) {  // producer lapped: oldest audio gone
+                rp = wp - m->capacity;
+                st = -1;
+            }
+            if (wp - rp < hop) {  // underrun: zeros, don't consume
+                std::memset(dst, 0, sizeof(float) * hop);
+                if (status) status[s] = 0;
+                break;
+            }
+            for (int64_t i = 0; i < hop; ++i) dst[i] = row[(rp + i) % m->capacity];
+            int64_t wp2 = m->write_pos[s].load(std::memory_order_acquire);
+            if (wp2 - rp > m->capacity) continue;  // span overwritten mid-copy
+            m->read_pos[s] = rp + hop;
+            if (status) status[s] = st;
+            ++ok;
+            break;
+        }
+    }
+    return ok;
+}
+
 // -------------------------------------------------------------------- wav read
 
 // Parse a 16-bit PCM WAV held in memory. Returns sample count (frames *
