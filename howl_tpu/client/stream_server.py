@@ -45,7 +45,7 @@ class MultiStreamServer:
     ticks of audio (jitter tolerance before audio is dropped).
     """
 
-    def __init__(self, engine, capacity_ticks: int = 16):
+    def __init__(self, engine, capacity_ticks: int = 16, gather_threads: int = 1):
         if not hasattr(engine, "push") or not hasattr(engine, "hop_samples"):
             raise ValueError(
                 "MultiStreamServer needs a push-based online engine "
@@ -53,6 +53,7 @@ class MultiStreamServer:
                 f"got {type(engine).__name__}"
             )
         self.engine = engine
+        self.gather_threads = int(gather_threads)  # cores to shard the gather over
         self.num_streams = engine.num_streams
         self.hop_block = getattr(engine, "hop_block", 1)
         self.samples_per_tick = engine.hop_samples * self.hop_block
@@ -81,7 +82,7 @@ class MultiStreamServer:
 
     def tick(self) -> TickResult:
         """Gather one tick of audio from every stream and score it."""
-        batch, status = self.mux.gather(self.samples_per_tick)
+        batch, status = self.mux.gather(self.samples_per_tick, threads=self.gather_threads)
         any_fired = bool(self.engine.push(batch))
         last = np.asarray(self.engine.last_fired)
         fired = last.any(axis=1) if last.ndim == 2 else last  # blocked: any hop

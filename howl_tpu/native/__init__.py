@@ -67,6 +67,10 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     lib.mux_pending.argtypes = [ctypes.c_void_p, c_i64]
     lib.mux_gather.restype = c_i64
     lib.mux_gather.argtypes = [ctypes.c_void_p, c_f32p, c_i64, ctypes.POINTER(ctypes.c_int8)]
+    lib.mux_gather_range.restype = c_i64
+    lib.mux_gather_range.argtypes = [
+        ctypes.c_void_p, c_f32p, c_i64, ctypes.POINTER(ctypes.c_int8), c_i64, c_i64,
+    ]
     _lib = lib
     return _lib
 
@@ -191,20 +195,38 @@ class NativeStreamMux:
             return int(self._lib.mux_pending(self._handle, stream))
         return int(self._write[stream] - self._read[stream])
 
-    def gather(self, hop: int):
+    def gather(self, hop: int, threads: int = 1):
         """Next ``hop`` samples of every stream -> ((N, hop) f32 batch,
-        (N,) int8 status: 1 ok / 0 underrun / -1 overrun-skip)."""
+        (N,) int8 status: 1 ok / 0 underrun / -1 overrun-skip).
+
+        ``threads`` > 1 shards the native gather by stream range across that
+        many Python threads (ctypes releases the GIL; the per-stream rows are
+        independent) — one core sustains ~16k streams at the 62.5 ms cadence,
+        so larger fleets shard."""
         if hop > self.capacity:
             raise ValueError(f"gather({hop}) exceeds per-stream capacity {self.capacity}")
         out = np.zeros((self.n_streams, hop), np.float32)
         status = np.zeros(self.n_streams, np.int8)
         if self._lib is not None:
-            self._lib.mux_gather(
-                self._handle,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                hop,
-                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-            )
+            out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            st_p = status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+            if threads <= 1 or self.n_streams < 2 * threads:
+                self._lib.mux_gather(self._handle, out_p, hop, st_p)
+            else:
+                import threading
+
+                bounds = np.linspace(0, self.n_streams, threads + 1).astype(int)
+                ts = [
+                    threading.Thread(
+                        target=self._lib.mux_gather_range,
+                        args=(self._handle, out_p, hop, st_p, int(lo), int(hi)),
+                    )
+                    for lo, hi in zip(bounds[:-1], bounds[1:])
+                ]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
             return out, status
         for s in range(self.n_streams):
             wp, rp = int(self._write[s]), int(self._read[s])

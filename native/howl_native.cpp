@@ -153,18 +153,41 @@ void mux_destroy(StreamMux* m) {
     delete m;
 }
 
+// copy n samples into the ring row starting at absolute position pos, as at
+// most two contiguous segments (memcpy-speed; a per-sample modulo loop would
+// dominate the 62.5 ms tick budget at tens of thousands of streams)
+static void row_write(float* row, int64_t capacity, int64_t pos, const float* src, int64_t n) {
+    if (n > capacity) {  // only the newest `capacity` samples can survive
+        src += n - capacity;
+        pos += n - capacity;
+        n = capacity;
+    }
+    int64_t off = pos % capacity;
+    int64_t first = capacity - off < n ? capacity - off : n;
+    std::memcpy(row + off, src, sizeof(float) * first);
+    if (n > first) std::memcpy(row, src + first, sizeof(float) * (n - first));
+}
+
 void mux_push_f32(StreamMux* m, int64_t stream, const float* pcm, int64_t n) {
     float* row = m->data + stream * m->capacity;
     int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
-    for (int64_t i = 0; i < n; ++i) row[(pos + i) % m->capacity] = pcm[i];
+    row_write(row, m->capacity, pos, pcm, n);
     m->write_pos[stream].store(pos + n, std::memory_order_release);
 }
 
 void mux_push_i16(StreamMux* m, int64_t stream, const int16_t* pcm, int64_t n) {
     float* row = m->data + stream * m->capacity;
     int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
-    for (int64_t i = 0; i < n; ++i)
-        row[(pos + i) % m->capacity] = static_cast<float>(pcm[i]) / 32768.0f;
+    // convert in bounded chunks through a stack buffer, then 2-segment copy
+    float tmp[2048];
+    int64_t done = 0;
+    while (done < n) {
+        int64_t take = n - done < 2048 ? n - done : 2048;
+        for (int64_t i = 0; i < take; ++i)
+            tmp[i] = static_cast<float>(pcm[done + i]) / 32768.0f;
+        row_write(row, m->capacity, pos + done, tmp, take);
+        done += take;
+    }
     m->write_pos[stream].store(pos + n, std::memory_order_release);
 }
 
@@ -184,9 +207,14 @@ int64_t mux_pending(const StreamMux* m, int64_t stream) {
 //                  the oldest still-live sample (write - capacity), dropping
 //                  the overwritten audio, then the hop is consumed.
 // Returns the number of status==1||-1 streams (rows carrying real audio).
-int64_t mux_gather(StreamMux* m, float* out, int64_t hop, int8_t* status) {
+// Gather streams [s_begin, s_end) into out rows [s_begin, s_end): the
+// per-stream rows are independent, so a consumer may shard one tick's gather
+// across threads by range (one core sustains ~16k streams at the 62.5 ms
+// cadence on a small host — docs/PERFORMANCE.md).
+int64_t mux_gather_range(StreamMux* m, float* out, int64_t hop, int8_t* status,
+                         int64_t s_begin, int64_t s_end) {
     int64_t ok = 0;
-    for (int64_t s = 0; s < m->n_streams; ++s) {
+    for (int64_t s = s_begin; s < s_end; ++s) {
         const float* row = m->data + s * m->capacity;
         float* dst = out + s * hop;
         for (;;) {  // seqlock-style: retry if the producer laps the copied span
@@ -202,7 +230,12 @@ int64_t mux_gather(StreamMux* m, float* out, int64_t hop, int8_t* status) {
                 if (status) status[s] = 0;
                 break;
             }
-            for (int64_t i = 0; i < hop; ++i) dst[i] = row[(rp + i) % m->capacity];
+            {  // 2-segment copy of [rp, rp+hop) out of the ring
+                int64_t off = rp % m->capacity;
+                int64_t first = m->capacity - off < hop ? m->capacity - off : hop;
+                std::memcpy(dst, row + off, sizeof(float) * first);
+                if (hop > first) std::memcpy(dst + first, row, sizeof(float) * (hop - first));
+            }
             int64_t wp2 = m->write_pos[s].load(std::memory_order_acquire);
             if (wp2 - rp > m->capacity) continue;  // span overwritten mid-copy
             m->read_pos[s] = rp + hop;
@@ -212,6 +245,10 @@ int64_t mux_gather(StreamMux* m, float* out, int64_t hop, int8_t* status) {
         }
     }
     return ok;
+}
+
+int64_t mux_gather(StreamMux* m, float* out, int64_t hop, int8_t* status) {
+    return mux_gather_range(m, out, hop, status, 0, m->n_streams);
 }
 
 // -------------------------------------------------------------------- wav read

@@ -105,6 +105,25 @@ def test_native_matches_fallback_schedule():
         np.testing.assert_array_equal(nb, fb)
 
 
+def test_threaded_gather_matches_single():
+    """gather(threads=N) shards by stream range and must equal threads=1."""
+    from howl_tpu.native import available
+
+    if not available():
+        pytest.skip("native toolchain unavailable")
+    a, b = NativeStreamMux(7, 256), NativeStreamMux(7, 256)
+    rng = np.random.default_rng(5)
+    for s in range(7):
+        pcm = rng.standard_normal(int(rng.integers(10, 200))).astype(np.float32)
+        a.push(s, pcm)
+        b.push(s, pcm)
+    for _ in range(3):
+        ba, sa = a.gather(32, threads=1)
+        bb, sb = b.gather(32, threads=3)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(ba, bb)
+
+
 def test_int16_push_matches_float(make_mux):
     mux = make_mux(n_streams=1, capacity=64)
     pcm = (np.array([0, 16384, -16384, 32767], np.int16)).tobytes()
