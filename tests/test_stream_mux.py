@@ -261,6 +261,27 @@ def test_multistream_server_detects_on_the_right_stream(trained_ws, monkeypatch)
     assert 2 in fired_streams, "late stream should catch up and fire"
 
 
+@pytest.mark.slow
+def test_demo_streams_cli(trained_ws, monkeypatch, capsys):
+    """demo.py --streams N replays WAVs on their own streams through one
+    batched engine and reports per-stream detections."""
+    ws, corpus, env = trained_ws
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from howl_tpu.settings import SETTINGS
+
+    SETTINGS.reset()
+    from howl_tpu.training.run.demo import run
+
+    pos = str(sorted((corpus / "audio").glob("pos_*.wav"))[0])
+    neg = str(sorted((corpus / "audio").glob("neg_*.wav"))[0])
+    server = run(["--workspace", str(ws), "--model", "res8",
+                  "--streams", "2", "--wav", pos, neg, "--incremental"])
+    assert server.detections[0] >= 1, "wakeword stream should detect"
+    assert server.detections[1] == 0, "negative stream should stay quiet"
+    assert "wakeword detected on streams [0]" in capsys.readouterr().out
+
+
 def test_server_rejects_whole_window_engine(trained_ws, monkeypatch):
     ws, corpus, env = trained_ws
     for k, v in env.items():
