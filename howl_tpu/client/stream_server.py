@@ -93,7 +93,13 @@ class MultiStreamServer:
         if any_fired:
             idx = np.flatnonzero(fired)
             for listener in self._listeners:
-                listener(idx, self.ticks)
+                try:
+                    listener(idx, self.ticks)
+                except Exception:  # noqa: BLE001 — a user callback must not
+                    # kill the serving loop (start() runs tick() on a thread)
+                    import traceback
+
+                    traceback.print_exc()
         return TickResult(fired=fired, status=status, any_fired=any_fired)
 
     def run_ticks(self, n: int, realtime: bool = False) -> None:

@@ -175,6 +175,33 @@ def test_threaded_producers_deliver_everything():
         np.testing.assert_array_equal(got, _seq(s, 0, len(got)))
 
 
+def test_server_survives_raising_listener(monkeypatch, capsys):
+    """A user callback that raises must not kill the serving loop."""
+    import howl_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "_ensure_built", lambda: None)
+
+    class FakeEngine:
+        num_streams, hop_samples, hop_block = 2, 4, 1
+        cfg = type("C", (), {"sample_rate": 16000})()
+        last_fired = np.array([True, False])
+
+        def push(self, batch):
+            return True
+
+    from howl_tpu.client.stream_server import MultiStreamServer
+
+    server = MultiStreamServer(FakeEngine())
+    server.add_listener(lambda idx, tick: (_ for _ in ()).throw(RuntimeError("boom")))
+    hits = []
+    server.add_listener(lambda idx, tick: hits.append(idx.tolist()))
+    server.push(0, np.zeros(4, np.float32))
+    server.push(1, np.zeros(4, np.float32))
+    r = server.tick()
+    assert r.any_fired and hits == [[0]]  # later listeners still ran
+    assert "boom" in capsys.readouterr().err
+
+
 @pytest.fixture(scope="module")
 def trained_ws(tmp_path_factory):
     """Tiny trained wakeword model for the end-to-end server test."""

@@ -10,6 +10,10 @@ despite the sitecustomize TPU pin.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+
 from typing import NamedTuple
 
 import numpy as np

@@ -25,6 +25,11 @@ Run (on the axon TPU): python tools/bench_frontend_variants.py
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+
 import time
 
 import numpy as np

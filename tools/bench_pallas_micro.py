@@ -23,6 +23,11 @@ Run (on the axon TPU): python tools/bench_pallas_micro.py
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+
 import time
 from functools import partial
 

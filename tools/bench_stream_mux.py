@@ -12,6 +12,10 @@ Usage: python tools/bench_stream_mux.py [n_streams] [hop_samples]
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+
 import time
 
 import numpy as np

@@ -12,7 +12,11 @@ Run (on the axon TPU): python tools/validate_pallas_precision.py
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+
 
 import jax
 import numpy as np

@@ -12,6 +12,11 @@ Run (on the axon TPU): python tools/validate_tpu_decisions.py
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+
 import numpy as np
 
 FAMILIES = ["res8", "small-cnn", "lstm", "gru", "las", "mobilenet"]
@@ -85,6 +90,5 @@ def main():
 
 
 if __name__ == "__main__":
-    import sys
 
     sys.exit(main())
