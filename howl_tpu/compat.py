@@ -252,20 +252,33 @@ def _torch_load(path: Path):
     return torch.load(str(path), map_location="cpu", weights_only=True)
 
 
-def import_reference_workspace(
-    src_path, dst_path, model_name: Optional[str] = None
-) -> "Workspace":  # noqa: F821 - forward ref, imported below
-    """Convert a reference workspace directory into a howl_tpu workspace.
+def is_reference_workspace(path) -> bool:
+    """True when ``path`` holds a REFERENCE (torch) workspace: torch
+    checkpoints present, or an underscore-keyed settings.json (the reference
+    gather_dict layout, ref workspace.py:69-73)."""
+    p = Path(path)
+    if (p / "model-best.pt.bin").exists() or (p / "model.pt.bin").exists():
+        return True
+    settings = p / "settings.json"
+    if settings.exists():
+        try:
+            data = json.loads(settings.read_text())
+        except ValueError:
+            return False
+        return bool(data) and all(k.startswith("_") for k in data)
+    return False
 
-    Reads ``settings.json`` + ``zmuv.pt.bin`` + ``model{-best}.pt.bin`` from
-    ``src_path`` and writes the howl_tpu equivalents (settings snapshot,
-    zmuv.json, model{-best}.flax, cmd-args.json) into ``dst_path``. Returns
-    the destination Workspace; load it with
-    ``hub.load_workspace_engine(dst_path)``.
-    """
+
+def load_reference_workspace(src_path, model_name: Optional[str] = None, settings=None):
+    """Read a reference workspace WITHOUT writing anything: returns
+    (model_name, settings: HowlSettings, variables_by_best: {True/False: flax
+    variables}, zmuv: ZmuvTransform | None). The in-memory half of
+    ``import_reference_workspace`` — the hub uses it to serve reference
+    checkouts (e.g. a real howl-models clone) directly. ``settings`` loads
+    the snapshot into an existing HowlSettings (e.g. the global SETTINGS the
+    frontend/engine configs read) instead of a fresh one."""
     from howl_tpu.ops.zmuv import ZmuvTransform
     from howl_tpu.settings import HowlSettings
-    from howl_tpu.workspace import Workspace
 
     src = Path(src_path)
     if not (src / "settings.json").exists():
@@ -281,8 +294,6 @@ def import_reference_workspace(
                 "'model' entry — pass the architecture explicitly (e.g. 'res8')"
             )
     if model_name not in _FAMILY_CONVERTERS:
-        # validate BEFORE creating the destination: a half-written workspace
-        # (settings + cmd-args but no model) would fail confusingly at load
         raise NotImplementedError(
             f"torch checkpoint import is implemented for {SUPPORTED_IMPORT_FAMILIES}; "
             f"got {model_name!r}. Other families can be retrained with "
@@ -290,15 +301,11 @@ def import_reference_workspace(
         )
 
     # settings snapshot: reference section keys carry a leading underscore
-    settings = HowlSettings()
+    if settings is None:
+        settings = HowlSettings()
     settings.load_dict(reference_settings_to_dict(json.loads((src / "settings.json").read_text())))
 
-    workspace = Workspace(Path(dst_path), delete_existing=False)
-    workspace.save_settings(settings)
-    (workspace.path / "cmd-args.json").write_text(json.dumps({"model": model_name}))
-
-    # zmuv: scalar (1,)-shaped buffers total/mean/mean2 (ref operator.py:119-125);
-    # std is derived identically on both sides (sqrt(mean2 - mean^2))
+    zmuv = None
     zmuv_path = src / "zmuv.pt.bin"
     if zmuv_path.exists():
         z = {k: float(np.asarray(v.detach().cpu() if hasattr(v, "detach") else v).reshape(-1)[0])
@@ -306,24 +313,48 @@ def import_reference_workspace(
         try:
             # strict: a zmuv file missing its stats must fail HERE, not serve
             # garbage-normalized features later (mean2=0 would give std~1e-6)
-            workspace.save_zmuv(ZmuvTransform(z["mean"], z["mean2"], z["total"]))
+            zmuv = ZmuvTransform(z["mean"], z["mean2"], z["total"])
         except KeyError as e:
             raise ValueError(
                 f"{zmuv_path} lacks the reference ZmuvTransform buffers "
                 f"(total/mean/mean2, ref operator.py:119-125); found {sorted(z)}"
             ) from e
 
-    converted = {}
+    variables_by_best = {}
     for fname, best in (("model-best.pt.bin", True), ("model.pt.bin", False)):
         path = src / fname
-        if not path.exists():
-            continue
-        converted[best] = torch_state_to_variables(model_name, _torch_load(path))
-        workspace.save_model(converted[best], best=best)
-    if not converted:
+        if path.exists():
+            variables_by_best[best] = torch_state_to_variables(model_name, _torch_load(path))
+    if not variables_by_best:
         raise FileNotFoundError(f"{src} has neither model-best.pt.bin nor model.pt.bin")
-    if True not in converted:
-        # hub.load_workspace_engine defaults to best=True; a source with only
-        # the non-best checkpoint still must serve
-        workspace.save_model(converted[False], best=True)
+    if True not in variables_by_best:
+        # consumers default to best=True; a source with only the non-best
+        # checkpoint still must serve
+        variables_by_best[True] = variables_by_best[False]
+    return model_name, settings, variables_by_best, zmuv
+
+
+def import_reference_workspace(
+    src_path, dst_path, model_name: Optional[str] = None
+) -> "Workspace":  # noqa: F821 - forward ref, imported below
+    """Convert a reference workspace directory into a howl_tpu workspace.
+
+    Reads ``settings.json`` + ``zmuv.pt.bin`` + ``model{-best}.pt.bin`` from
+    ``src_path`` and writes the howl_tpu equivalents (settings snapshot,
+    zmuv.json, model{-best}.flax, cmd-args.json) into ``dst_path``. Returns
+    the destination Workspace; load it with
+    ``hub.load_workspace_engine(dst_path)``.
+    """
+    from howl_tpu.workspace import Workspace
+
+    model_name, settings, variables_by_best, zmuv = load_reference_workspace(src_path, model_name)
+
+    workspace = Workspace(Path(dst_path), delete_existing=False)
+    workspace.save_settings(settings)
+    (workspace.path / "cmd-args.json").write_text(json.dumps({"model": model_name}))
+
+    if zmuv is not None:
+        workspace.save_zmuv(zmuv)
+    for best, variables in variables_by_best.items():
+        workspace.save_model(variables, best=best)
     return workspace

@@ -6,6 +6,12 @@ resolves published model names against a local howl-models-style checkout
 (``$HOWL_MODELS_PATH``). The reference downloads a release zip via torch.hub;
 here resolution is path-based (this framework targets hermetic deployments;
 wire your own fetch in front if you want remote zips).
+
+REFERENCE (torch) workspaces serve directly: when the path holds
+``model{-best}.pt.bin`` + the reference's settings.json layout, the weights
+are converted in memory (howl_tpu/compat.py — nothing is written), so
+pointing ``HOWL_MODELS_PATH`` at a real castorini/howl-models clone just
+works; ``training.run.import_workspace`` persists the conversion instead.
 """
 
 from __future__ import annotations
@@ -61,17 +67,28 @@ def load_workspace_engine(
         )
     if hop_block != 1 and not streaming_trunk:
         raise ValueError("hop_block requires streaming_trunk=True")
-    workspace = Workspace(Path(workspace_path), delete_existing=False)
-    settings = workspace.load_settings(SETTINGS)
+    path = Path(workspace_path)
+    ref_by_best = ref_zmuv = None
+    from howl_tpu import compat
 
-    if model_name is None:
-        import json
-
-        args_path = workspace.path / "cmd-args.json"
-        if args_path.exists():
-            model_name = json.loads(args_path.read_text()).get("model")
+    if compat.is_reference_workspace(path):
+        # a torch (castorini/howl) workspace — e.g. a real howl-models
+        # checkout: convert in memory, nothing written (docs/MIGRATION.md)
+        model_name, settings, ref_by_best, ref_zmuv = compat.load_reference_workspace(
+            path, model_name, settings=SETTINGS
+        )
+        workspace = None
+    else:
+        workspace = Workspace(path, delete_existing=False)
+        settings = workspace.load_settings(SETTINGS)
         if model_name is None:
-            raise ValueError("model_name not given and cmd-args.json missing from workspace")
+            import json
+
+            args_path = workspace.path / "cmd-args.json"
+            if args_path.exists():
+                model_name = json.loads(args_path.read_text()).get("model")
+            if model_name is None:
+                raise ValueError("model_name not given and cmd-args.json missing from workspace")
 
     use_frame = settings.training.objective == "frame"
     ctx = InferenceContext(
@@ -79,9 +96,9 @@ def load_workspace_engine(
         token_type=settings.training.token_type,
         use_blank=not use_frame,
     )
-    zmuv = workspace.load_zmuv()
+    zmuv = ref_zmuv if workspace is None else workspace.load_zmuv()
     if zmuv is None:
-        raise FileNotFoundError(f"zmuv.json missing from workspace {workspace.path}")
+        raise FileNotFoundError(f"zmuv stats missing from workspace {path}")
 
     model = create_model(model_name, num_labels=ctx.num_labels)
     spec = model_spec(model_name)
@@ -100,7 +117,26 @@ def load_workspace_engine(
     window_samples = int(settings.training.max_window_size_seconds * settings.audio.sample_rate)
     feats0 = np.zeros((1, 3, frontend.n_mels, frontend.num_frames(window_samples)), np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
-    variables = workspace.load_model(variables, best=best)
+    if workspace is None:
+        if best and best not in ref_by_best:
+            best = True  # load_reference_workspace guarantees a best entry
+        if not best and False not in ref_by_best:
+            raise FileNotFoundError(f"{path} has no non-best model.pt.bin")
+        # graft the converted tensors onto the init template: tree_map fails
+        # loudly on any structure mismatch, and the shape check catches a
+        # checkpoint trained with different geometry than its settings claim
+        def graft(t, v):
+            v = np.asarray(v, dtype=np.asarray(t).dtype)
+            if v.shape != t.shape:
+                raise ValueError(
+                    f"converted tensor shape {v.shape} != model template {t.shape} "
+                    f"for {model_name!r} — checkpoint/settings geometry mismatch"
+                )
+            return v
+
+        variables = jax.tree.map(graft, variables, ref_by_best[best])
+    else:
+        variables = workspace.load_model(variables, best=best)
 
     cfg = EngineConfig.from_settings(ctx)
     engine_cls = OnlineEngine

@@ -259,6 +259,36 @@ def test_import_cli_entry_point(tmp_path, ref_res8):
     assert json.loads((dst / "cmd-args.json").read_text())["model"] == "res8"
 
 
+def test_hub_serves_reference_workspace_directly(tmp_path, ref_res8):
+    """hub.load_workspace_engine pointed at a RAW reference (torch) workspace
+    converts in memory — same logits as the persisted import, nothing written
+    into the source checkout."""
+    torch, Res8 = ref_res8
+    import jax
+
+    from howl_tpu import hub
+    from howl_tpu.compat import import_reference_workspace
+    from howl_tpu.models import create_model
+
+    src, ref_model = _make_reference_workspace(tmp_path, torch, Res8)
+    before = sorted(p.name for p in src.iterdir())
+
+    engine, ctx = hub.load_workspace_engine(src, num_streams=1)
+    assert engine.window_samples == 8000
+    assert not engine.infer(np.zeros((1, 8000), np.float32))
+    assert sorted(p.name for p in src.iterdir()) == before  # source untouched
+
+    # direct-serve weights == persisted-import weights
+    ws = import_reference_workspace(src, tmp_path / "persisted")
+    model = create_model("res8", num_labels=4)
+    feats = np.random.default_rng(1).standard_normal((1, 1, 40, 61)).astype(np.float32)
+    template = model.init({"params": jax.random.PRNGKey(0)}, feats, train=False)
+    imported = ws.load_model(template, best=True)
+    direct = np.asarray(model.apply(engine.variables, feats, train=False))
+    persisted = np.asarray(model.apply(imported, feats, train=False))
+    np.testing.assert_array_equal(direct, persisted)
+
+
 def test_import_export_round_trip(tmp_path, ref_res8):
     """compat import is the exact inverse of export_honkling's mapping: a
     reference res8 state_dict -> flax -> torch-layout dict reproduces every
