@@ -118,8 +118,8 @@ def load_workspace_engine(
     feats0 = np.zeros((1, 3, frontend.n_mels, frontend.num_frames(window_samples)), np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
     if workspace is None:
-        if best and best not in ref_by_best:
-            best = True  # load_reference_workspace guarantees a best entry
+        # load_reference_workspace always provides a best entry; only a
+        # non-best request can miss
         if not best and False not in ref_by_best:
             raise FileNotFoundError(f"{path} has no non-best model.pt.bin")
         # graft the converted tensors onto the init template: tree_map fails

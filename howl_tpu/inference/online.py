@@ -321,5 +321,7 @@ class IncrementalOnlineEngine:
         )
         self.curr_time += self.stride_ms
         self.last_labels = label
-        self.last_fired = fired_now  # (num_streams,) — per-stream fire flags
-        return bool(np.asarray(fired_now).any())
+        # fetch ONCE: the relay charges ~31 ms per device->host fetch, so the
+        # serving loop must not pay it again reading last_fired after push()
+        self.last_fired = np.asarray(fired_now)  # (num_streams,) fire flags
+        return bool(self.last_fired.any())

@@ -604,10 +604,12 @@ class FusedStreamingOnlineEngine:
             self.variables, audio, self.tail, self.mel_cache, self.rings, self.s6_ring,
             self.state, jnp.float32(self.curr_time), valid,
         )
-        self.last_fired = fired_now
+        # fetch ONCE (the relay charges ~31 ms per device->host fetch; the
+        # serving loop reads last_fired right after push())
+        self.last_fired = np.asarray(fired_now)
         if emitting:
             self.curr_time += self.stride_ms
-        return bool(np.asarray(fired_now).any())
+        return bool(self.last_fired.any())
 
     def _push_block(self, new_audio: np.ndarray) -> bool:
         H = self.hop_block
@@ -633,7 +635,7 @@ class FusedStreamingOnlineEngine:
             self.variables, audio, self.tail, self.mel_cache, self.rings, self.s6_ring,
             self.state, jnp.int32(k0), jnp.float32(t_base),
         )
-        self.last_fired = fireds  # (B, H), hop h decides window k0 + h
+        self.last_fired = np.asarray(fireds)  # (B, H), hop h decides window k0 + h
         n_valid = max(0, k0 + H) - max(0, k0)
         self.curr_time += n_valid * self.stride_ms
-        return bool(np.asarray(fireds).any())
+        return bool(self.last_fired.any())

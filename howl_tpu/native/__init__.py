@@ -37,41 +37,47 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     except Exception:  # noqa: BLE001 — no toolchain / load failure -> fallback
         _load_failed = True
         return None
-    c_i64, c_f32p, c_i16p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16)
-    lib.ring_create.restype = ctypes.c_void_p
-    lib.ring_create.argtypes = [c_i64]
-    lib.ring_destroy.argtypes = [ctypes.c_void_p]
-    lib.ring_push_i16.argtypes = [ctypes.c_void_p, c_i16p, c_i64]
-    lib.ring_push_f32.argtypes = [ctypes.c_void_p, c_f32p, c_i64]
-    lib.ring_total_written.restype = c_i64
-    lib.ring_total_written.argtypes = [ctypes.c_void_p]
-    lib.ring_latest.restype = c_i64
-    lib.ring_latest.argtypes = [ctypes.c_void_p, c_f32p, c_i64]
-    lib.pcm_i16_to_f32.argtypes = [c_i16p, c_f32p, c_i64]
-    lib.vad_leading_silence_ms.restype = c_i64
-    lib.vad_leading_silence_ms.argtypes = [c_f32p, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_float]
-    lib.wav_decode_i16.restype = c_i64
-    lib.wav_decode_i16.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8),
-        c_i64,
-        c_f32p,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.mux_create.restype = ctypes.c_void_p
-    lib.mux_create.argtypes = [c_i64, c_i64]
-    lib.mux_destroy.argtypes = [ctypes.c_void_p]
-    lib.mux_push_f32.argtypes = [ctypes.c_void_p, c_i64, c_f32p, c_i64]
-    lib.mux_push_i16.argtypes = [ctypes.c_void_p, c_i64, c_i16p, c_i64]
-    lib.mux_pending.restype = c_i64
-    lib.mux_pending.argtypes = [ctypes.c_void_p, c_i64]
-    lib.mux_gather.restype = c_i64
-    lib.mux_gather.argtypes = [ctypes.c_void_p, c_f32p, c_i64, ctypes.POINTER(ctypes.c_int8)]
-    lib.mux_gather_range.restype = c_i64
-    lib.mux_gather_range.argtypes = [
-        ctypes.c_void_p, c_f32p, c_i64, ctypes.POINTER(ctypes.c_int8), c_i64, c_i64,
-    ]
-    _lib = lib
+    try:
+        c_i64, c_f32p, c_i16p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16)
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_create.argtypes = [c_i64]
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.ring_push_i16.argtypes = [ctypes.c_void_p, c_i16p, c_i64]
+        lib.ring_push_f32.argtypes = [ctypes.c_void_p, c_f32p, c_i64]
+        lib.ring_total_written.restype = c_i64
+        lib.ring_total_written.argtypes = [ctypes.c_void_p]
+        lib.ring_latest.restype = c_i64
+        lib.ring_latest.argtypes = [ctypes.c_void_p, c_f32p, c_i64]
+        lib.pcm_i16_to_f32.argtypes = [c_i16p, c_f32p, c_i64]
+        lib.vad_leading_silence_ms.restype = c_i64
+        lib.vad_leading_silence_ms.argtypes = [c_f32p, c_i64, ctypes.c_int, ctypes.c_int, ctypes.c_float]
+        lib.wav_decode_i16.restype = c_i64
+        lib.wav_decode_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            c_i64,
+            c_f32p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mux_create.restype = ctypes.c_void_p
+        lib.mux_create.argtypes = [c_i64, c_i64]
+        lib.mux_destroy.argtypes = [ctypes.c_void_p]
+        lib.mux_push_f32.argtypes = [ctypes.c_void_p, c_i64, c_f32p, c_i64]
+        lib.mux_push_i16.argtypes = [ctypes.c_void_p, c_i64, c_i16p, c_i64]
+        lib.mux_pending.restype = c_i64
+        lib.mux_pending.argtypes = [ctypes.c_void_p, c_i64]
+        lib.mux_gather.restype = c_i64
+        lib.mux_gather.argtypes = [ctypes.c_void_p, c_f32p, c_i64, ctypes.POINTER(ctypes.c_int8)]
+        lib.mux_gather_range.restype = c_i64
+        lib.mux_gather_range.argtypes = [
+            ctypes.c_void_p, c_f32p, c_i64, ctypes.POINTER(ctypes.c_int8), c_i64, c_i64,
+        ]
+        _lib = lib
+    except AttributeError:
+        # a stale prebuilt .so (older symbol set) that make couldn't
+        # rebuild (no toolchain) -> pure-Python fallback, loudly absent
+        _load_failed = True
+        return None
     return _lib
 
 
@@ -228,14 +234,15 @@ class NativeStreamMux:
                 for t in ts:
                     t.join()
             return out, status
-        for s in range(self.n_streams):
+        for s in range(self.n_streams):  # mirrors mux_gather_range (1 thread)
             wp, rp = int(self._write[s]), int(self._read[s])
             st = 1
             if wp - rp > self.capacity:
                 rp = wp - self.capacity
                 st = -1
-            if wp - rp < hop:
-                status[s] = 0
+            if wp - rp < hop:  # underrun (possibly just after a skip)
+                self._read[s] = rp  # persist any skip
+                status[s] = -1 if st == -1 else 0
                 continue
             idx = (rp + np.arange(hop)) % self.capacity
             out[s] = self._buf[s, idx]

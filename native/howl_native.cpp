@@ -25,7 +25,8 @@ extern "C" {
 struct RingBuffer {
     float* data;
     int64_t capacity;
-    std::atomic<int64_t> write_pos;  // total samples ever written
+    std::atomic<int64_t> write_pos;    // total samples PUBLISHED
+    std::atomic<int64_t> reserve_pos;  // total samples RESERVED (intent, >= published)
 };
 
 RingBuffer* ring_create(int64_t capacity) {
@@ -33,6 +34,7 @@ RingBuffer* ring_create(int64_t capacity) {
     rb->data = new float[capacity]();
     rb->capacity = capacity;
     rb->write_pos.store(0);
+    rb->reserve_pos.store(0);
     return rb;
 }
 
@@ -45,6 +47,7 @@ void ring_destroy(RingBuffer* rb) {
 // push int16 PCM; converts to float32 in [-1, 1]
 void ring_push_i16(RingBuffer* rb, const int16_t* pcm, int64_t n) {
     int64_t pos = rb->write_pos.load(std::memory_order_relaxed);
+    rb->reserve_pos.store(pos + n, std::memory_order_release);  // intent first
     for (int64_t i = 0; i < n; ++i) {
         rb->data[(pos + i) % rb->capacity] = static_cast<float>(pcm[i]) / 32768.0f;
     }
@@ -53,6 +56,7 @@ void ring_push_i16(RingBuffer* rb, const int16_t* pcm, int64_t n) {
 
 void ring_push_f32(RingBuffer* rb, const float* pcm, int64_t n) {
     int64_t pos = rb->write_pos.load(std::memory_order_relaxed);
+    rb->reserve_pos.store(pos + n, std::memory_order_release);  // intent first
     for (int64_t i = 0; i < n; ++i) {
         rb->data[(pos + i) % rb->capacity] = pcm[i];
     }
@@ -67,10 +71,10 @@ int64_t ring_total_written(const RingBuffer* rb) {
 // fewer than n samples have been written). Returns samples actually available.
 int64_t ring_latest(const RingBuffer* rb, float* out, int64_t n) {
     // seqlock-style read: a single producer may lap into the region being
-    // copied; write_pos doubles as the version — if the producer advanced far
-    // enough during the copy to overwrite [start, total), retry. Writes past
-    // the loaded write_pos are invisible to this read (release/acquire), so
-    // overwrite is the only torn-read hazard.
+    // copied. The copy is validated against reserve_pos (the producer's
+    // write INTENT, published before it touches data) — write_pos alone
+    // cannot catch a lap still in progress, since its release follows the
+    // data stores.
     for (;;) {
         int64_t total = rb->write_pos.load(std::memory_order_acquire);
         int64_t avail = total < n ? total : n;
@@ -82,8 +86,8 @@ int64_t ring_latest(const RingBuffer* rb, float* out, int64_t n) {
         for (int64_t i = 0; i < avail; ++i) {
             out[pad + i] = rb->data[(start + i) % rb->capacity];
         }
-        int64_t total2 = rb->write_pos.load(std::memory_order_acquire);
-        if (total2 - start <= rb->capacity) return avail;
+        int64_t rsv = rb->reserve_pos.load(std::memory_order_acquire);
+        if (rsv - start <= rb->capacity) return avail;
     }
 }
 
@@ -122,16 +126,21 @@ int64_t vad_leading_silence_ms(const float* audio, int64_t n, int sample_rate,
 // input shape the batched online engines consume (howl_tpu/inference/
 // online.py push(), streaming_trunk.py push()). One producer thread per
 // stream (network/mic feeder) writes its row; ONE consumer (the serving
-// loop) gathers. Per-stream ordering uses the same release/acquire
-// write_pos protocol as RingBuffer; rows are independent, so producers never
-// contend with each other.
+// loop) gathers; rows are independent, so producers never contend with each
+// other. Publication protocol per stream: the producer RESERVES the span
+// (reserve_pos, release) before touching ring data and PUBLISHES it
+// (write_pos, release) after — the consumer sizes reads off write_pos and
+// validates the copied span against reserve_pos, so an in-progress lap
+// (producer mid-overwrite of the span being copied) is always detected.
+// (write_pos alone cannot detect it: the data stores precede its release.)
 
 struct StreamMux {
     int64_t n_streams;
     int64_t capacity;  // per-stream ring capacity, samples
     float* data;       // (n_streams, capacity) row-major
-    std::atomic<int64_t>* write_pos;  // per stream: total samples ever pushed
-    int64_t* read_pos;                // consumer-owned: total samples consumed
+    std::atomic<int64_t>* write_pos;    // per stream: samples PUBLISHED
+    std::atomic<int64_t>* reserve_pos;  // per stream: samples RESERVED (>= published)
+    int64_t* read_pos;                  // consumer-owned: samples consumed
 };
 
 StreamMux* mux_create(int64_t n_streams, int64_t capacity) {
@@ -140,8 +149,12 @@ StreamMux* mux_create(int64_t n_streams, int64_t capacity) {
     m->capacity = capacity;
     m->data = new float[n_streams * capacity]();
     m->write_pos = new std::atomic<int64_t>[n_streams];
+    m->reserve_pos = new std::atomic<int64_t>[n_streams];
     m->read_pos = new int64_t[n_streams]();
-    for (int64_t s = 0; s < n_streams; ++s) m->write_pos[s].store(0);
+    for (int64_t s = 0; s < n_streams; ++s) {
+        m->write_pos[s].store(0);
+        m->reserve_pos[s].store(0);
+    }
     return m;
 }
 
@@ -149,6 +162,7 @@ void mux_destroy(StreamMux* m) {
     if (!m) return;
     delete[] m->data;
     delete[] m->write_pos;
+    delete[] m->reserve_pos;
     delete[] m->read_pos;
     delete m;
 }
@@ -171,6 +185,7 @@ static void row_write(float* row, int64_t capacity, int64_t pos, const float* sr
 void mux_push_f32(StreamMux* m, int64_t stream, const float* pcm, int64_t n) {
     float* row = m->data + stream * m->capacity;
     int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
+    m->reserve_pos[stream].store(pos + n, std::memory_order_release);  // intent first
     row_write(row, m->capacity, pos, pcm, n);
     m->write_pos[stream].store(pos + n, std::memory_order_release);
 }
@@ -178,6 +193,7 @@ void mux_push_f32(StreamMux* m, int64_t stream, const float* pcm, int64_t n) {
 void mux_push_i16(StreamMux* m, int64_t stream, const int16_t* pcm, int64_t n) {
     float* row = m->data + stream * m->capacity;
     int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
+    m->reserve_pos[stream].store(pos + n, std::memory_order_release);  // intent first
     // convert in bounded chunks through a stack buffer, then 2-segment copy
     float tmp[2048];
     int64_t done = 0;
@@ -204,9 +220,12 @@ int64_t mux_pending(const StreamMux* m, int64_t stream) {
 //                  audio is served on a later tick; a persistently late
 //                  producer adds latency, never corruption);
 //   status[s] = -1 overrun — the producer lapped the ring: read_pos skips to
-//                  the oldest still-live sample (write - capacity), dropping
-//                  the overwritten audio, then the hop is consumed.
-// Returns the number of status==1||-1 streams (rows carrying real audio).
+//                  the oldest still-live sample (reserve - capacity),
+//                  dropping the overwritten audio, then the hop is consumed
+//                  (the row may be silence when the skip leaves < hop
+//                  published samples, or in the pathological keep-lapping
+//                  case).
+// Returns the number of rows that delivered real (non-silence) audio.
 // Gather streams [s_begin, s_end) into out rows [s_begin, s_end): the
 // per-stream rows are independent, so a consumer may shard one tick's gather
 // across threads by range (one core sustains ~16k streams at the 62.5 ms
@@ -217,17 +236,21 @@ int64_t mux_gather_range(StreamMux* m, float* out, int64_t hop, int8_t* status,
     for (int64_t s = s_begin; s < s_end; ++s) {
         const float* row = m->data + s * m->capacity;
         float* dst = out + s * hop;
-        for (;;) {  // seqlock-style: retry if the producer laps the copied span
-            int64_t wp = m->write_pos[s].load(std::memory_order_acquire);
+        for (int attempt = 0;; ++attempt) {
+            int64_t wp = m->write_pos[s].load(std::memory_order_acquire);  // published
             int64_t rp = m->read_pos[s];
             int8_t st = 1;
-            if (wp - rp > m->capacity) {  // producer lapped: oldest audio gone
-                rp = wp - m->capacity;
+            // size the skip off RESERVED, not published: a reservation past
+            // rp + capacity means [rp, ...) may already be mid-overwrite
+            int64_t rsv = m->reserve_pos[s].load(std::memory_order_acquire);
+            if (rsv - rp > m->capacity) {  // producer lapped: oldest audio gone
+                rp = rsv - m->capacity;
                 st = -1;
             }
-            if (wp - rp < hop) {  // underrun: zeros, don't consume
+            if (wp - rp < hop) {  // underrun (possibly just after a skip)
                 std::memset(dst, 0, sizeof(float) * hop);
-                if (status) status[s] = 0;
+                m->read_pos[s] = rp;  // persist any skip
+                if (status) status[s] = st == -1 ? -1 : 0;
                 break;
             }
             {  // 2-segment copy of [rp, rp+hop) out of the ring
@@ -236,8 +259,17 @@ int64_t mux_gather_range(StreamMux* m, float* out, int64_t hop, int8_t* status,
                 std::memcpy(dst, row + off, sizeof(float) * first);
                 if (hop > first) std::memcpy(dst + first, row, sizeof(float) * (hop - first));
             }
-            int64_t wp2 = m->write_pos[s].load(std::memory_order_acquire);
-            if (wp2 - rp > m->capacity) continue;  // span overwritten mid-copy
+            // the copy is valid iff no producer reservation reached into it
+            int64_t rsv2 = m->reserve_pos[s].load(std::memory_order_acquire);
+            if (rsv2 - rp > m->capacity) {
+                if (attempt < 8) continue;  // lap raced the copy: retry
+                // producer laps faster than we can copy (pathological):
+                // record the skip and emit silence this tick
+                std::memset(dst, 0, sizeof(float) * hop);
+                m->read_pos[s] = rsv2 - m->capacity;
+                if (status) status[s] = -1;
+                break;
+            }
             m->read_pos[s] = rp + hop;
             if (status) status[s] = st;
             ++ok;

@@ -9,15 +9,13 @@ despite the sitecustomize TPU pin.
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
+import _path  # noqa: F401 — repo root on sys.path for howl_tpu
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+import sys
 
 from typing import NamedTuple
 
 import numpy as np
-
 
 class TrunkBenchSetup(NamedTuple):
     on_tpu: bool
@@ -29,7 +27,6 @@ class TrunkBenchSetup(NamedTuple):
     variables: dict
     compute_dtype: object  # jnp.bfloat16 on TPU, None on CPU
     rng: np.random.Generator
-
 
 def trunk_bench_setup(default_streams_tpu: int, default_steps_tpu: int,
                       default_streams_cpu: int = 8, default_steps_cpu: int = 2) -> TrunkBenchSetup:

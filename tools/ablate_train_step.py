@@ -11,16 +11,14 @@ Usage: python tools/ablate_train_step.py [batch] [iters]
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
+import _path  # noqa: F401 — repo root on sys.path for howl_tpu
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+import sys
 
 import time
 from functools import partial
 
 import numpy as np
-
 
 def main():
     from howl_tpu.utils.platform import ensure_platform
@@ -141,7 +139,6 @@ def main():
         return state, {"loss": loss}
 
     print(f"{'model fwd/bwd only':28s}: {time_chain(chain(model_only), state0):10,.0f} ex/s")
-
 
 if __name__ == "__main__":
     main()

@@ -25,15 +25,13 @@ Run (on the axon TPU): python tools/bench_frontend_variants.py
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
+import _path  # noqa: F401 — repo root on sys.path for howl_tpu
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+import sys
 
 import time
 
 import numpy as np
-
 
 def main():
     from howl_tpu.utils.platform import ensure_platform
@@ -167,7 +165,6 @@ def main():
             f"xla {name} vs HIGHEST: above-floor max err {np.abs(v - hi)[mask].max():.2e}, "
             f"global max {np.abs(v - hi).max():.2e}"
         )
-
 
 if __name__ == "__main__":
     main()

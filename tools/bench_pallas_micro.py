@@ -23,16 +23,14 @@ Run (on the axon TPU): python tools/bench_pallas_micro.py
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
+import _path  # noqa: F401 — repo root on sys.path for howl_tpu
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+import sys
 
 import time
 from functools import partial
 
 import numpy as np
-
 
 def main():
     from howl_tpu.utils.platform import ensure_platform
@@ -174,7 +172,6 @@ def main():
     timed("polyphase x3 (3-pass dft)", lambda x, s: run_poly(x, s, 3), audio_p)
 
     timed("xla framing only", lambda a, s: frame_signal(a + s * 1e-30, cfg), audio)
-
 
 if __name__ == "__main__":
     main()

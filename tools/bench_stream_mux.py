@@ -11,17 +11,15 @@ Usage: python tools/bench_stream_mux.py [n_streams] [hop_samples]
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
+import _path  # noqa: F401 — repo root on sys.path for howl_tpu
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+import sys
 
 import time
 
 import numpy as np
 
 from howl_tpu.native import NativeStreamMux, available
-
 
 def main():
     n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
@@ -47,7 +45,6 @@ def main():
     print(f"push  : {push_best * 1e3:8.2f} ms/tick ({mb / push_best / 1e3:.2f} GB/s, {n_streams / push_best:,.0f} streams/s)")
     print(f"gather: {gather_best * 1e3:8.2f} ms/tick ({mb / gather_best / 1e3:.2f} GB/s)")
     print(f"tick budget: 62.5 ms -> gather headroom {62.5 / (gather_best * 1e3):.1f}x")
-
 
 if __name__ == "__main__":
     main()

@@ -12,18 +12,16 @@ Run (on the axon TPU): python tools/validate_pallas_precision.py
 
 from __future__ import annotations
 
+import _path  # noqa: F401 — repo root on sys.path for howl_tpu
+
 import sys
 from pathlib import Path
-
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
-
 
 import jax
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 FLOOR = -10.0
-
 
 def main():
     from howl_tpu.ops.frontend import FrontendConfig
@@ -45,7 +43,6 @@ def main():
                 f"n_mels={n_mels} precision={name:8s} "
                 f"above_floor_max={err[loud].max():.5f} global_max={err.max():.5f} mean={err.mean():.6f}"
             )
-
 
 if __name__ == "__main__":
     main()

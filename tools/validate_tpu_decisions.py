@@ -12,15 +12,13 @@ Run (on the axon TPU): python tools/validate_tpu_decisions.py
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
+import _path  # noqa: F401 — repo root on sys.path for howl_tpu
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root for howl_tpu
+import sys
 
 import numpy as np
 
 FAMILIES = ["res8", "small-cnn", "lstm", "gru", "las", "mobilenet"]
-
 
 def main():
     from howl_tpu.utils.platform import ensure_platform
@@ -87,7 +85,6 @@ def main():
                 compare(f"res8+pallas[{prec or 'bf16x3'}]", a, pall.infer_batch(audio))
     print("ALL OK" if all_ok else "MISMATCHES FOUND")
     return 0 if all_ok else 1
-
 
 if __name__ == "__main__":
 
