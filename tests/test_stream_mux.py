@@ -105,6 +105,52 @@ def test_native_matches_fallback_schedule():
         np.testing.assert_array_equal(nb, fb)
 
 
+def test_no_torn_reads_under_fast_lapping_producer():
+    """The reserve/publish seqlock: a producer that laps the ring while the
+    consumer copies must NEVER yield torn audio. Every gathered hop with
+    status 1 or a consumed -1 must be a CONTIGUOUS run of the pushed
+    sequence — a torn read would splice two ranges ~capacity apart.
+    (This stresses the exact window the pre-fix write_pos-only check missed:
+    data stores precede the write_pos release.)"""
+    from howl_tpu.native import available
+
+    if not available():
+        pytest.skip("native toolchain unavailable")
+    hop, cap = 64, 256  # tiny ring: laps constantly
+    mux = NativeStreamMux(1, cap)
+    stop = threading.Event()
+
+    def producer():
+        sent = 0
+        while not stop.is_set():
+            n = 48
+            mux.push(0, _seq(0, sent, n))
+            sent += n
+
+    t = threading.Thread(target=producer)
+    t.start()
+    try:
+        real = torn = 0
+        for _ in range(4000):
+            batch, status = mux.gather(hop)
+            if status[0] == 0:
+                continue
+            row = batch[0]
+            if not row.any():  # -1 may carry silence (skip-only tick)
+                continue
+            real += 1
+            expect = row[0] + np.arange(hop, dtype=np.float32)
+            if not np.array_equal(row, expect):
+                torn += 1
+        assert torn == 0, f"{torn}/{real} gathered hops were torn"
+        # the producer laps so aggressively that most ticks take the skip
+        # path; a handful of clean reads still exercises the race window
+        assert real >= 10, f"stress produced too few real gathers ({real})"
+    finally:
+        stop.set()
+        t.join()
+
+
 def test_threaded_gather_matches_single():
     """gather(threads=N) shards by stream range and must equal threads=1."""
     from howl_tpu.native import available
