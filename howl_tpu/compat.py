@@ -265,7 +265,7 @@ def is_reference_workspace(path) -> bool:
             data = json.loads(settings.read_text())
         except ValueError:
             return False
-        return bool(data) and all(k.startswith("_") for k in data)
+        return isinstance(data, dict) and bool(data) and all(k.startswith("_") for k in data)
     return False
 
 

@@ -124,9 +124,11 @@ def load_workspace_engine(
             raise FileNotFoundError(f"{path} has no non-best model.pt.bin")
         # graft the converted tensors onto the init template: tree_map fails
         # loudly on any structure mismatch, and the shape check catches a
-        # checkpoint trained with different geometry than its settings claim
+        # checkpoint trained with different geometry than its settings claim.
+        # Read only the template's METADATA (t.dtype/t.shape) — np.asarray(t)
+        # would fetch every init tensor device->host (~31 ms each on relays)
         def graft(t, v):
-            v = np.asarray(v, dtype=np.asarray(t).dtype)
+            v = np.asarray(v, dtype=t.dtype)
             if v.shape != t.shape:
                 raise ValueError(
                     f"converted tensor shape {v.shape} != model template {t.shape} "

@@ -199,7 +199,7 @@ class NativeStreamMux:
     def pending(self, stream: int) -> int:
         if self._lib is not None:
             return int(self._lib.mux_pending(self._handle, stream))
-        return int(self._write[stream] - self._read[stream])
+        return max(int(self._write[stream] - self._read[stream]), 0)
 
     def gather(self, hop: int, threads: int = 1):
         """Next ``hop`` samples of every stream -> ((N, hop) f32 batch,

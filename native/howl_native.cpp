@@ -47,7 +47,10 @@ void ring_destroy(RingBuffer* rb) {
 // push int16 PCM; converts to float32 in [-1, 1]
 void ring_push_i16(RingBuffer* rb, const int16_t* pcm, int64_t n) {
     int64_t pos = rb->write_pos.load(std::memory_order_relaxed);
-    rb->reserve_pos.store(pos + n, std::memory_order_release);  // intent first
+    rb->reserve_pos.store(pos + n, std::memory_order_relaxed);
+    // full fence: a release store would not keep the LATER data stores
+    // from being reordered above it — the intent must be visible first
+    std::atomic_thread_fence(std::memory_order_seq_cst);
     for (int64_t i = 0; i < n; ++i) {
         rb->data[(pos + i) % rb->capacity] = static_cast<float>(pcm[i]) / 32768.0f;
     }
@@ -56,7 +59,10 @@ void ring_push_i16(RingBuffer* rb, const int16_t* pcm, int64_t n) {
 
 void ring_push_f32(RingBuffer* rb, const float* pcm, int64_t n) {
     int64_t pos = rb->write_pos.load(std::memory_order_relaxed);
-    rb->reserve_pos.store(pos + n, std::memory_order_release);  // intent first
+    rb->reserve_pos.store(pos + n, std::memory_order_relaxed);
+    // full fence: a release store would not keep the LATER data stores
+    // from being reordered above it — the intent must be visible first
+    std::atomic_thread_fence(std::memory_order_seq_cst);
     for (int64_t i = 0; i < n; ++i) {
         rb->data[(pos + i) % rb->capacity] = pcm[i];
     }
@@ -86,7 +92,10 @@ int64_t ring_latest(const RingBuffer* rb, float* out, int64_t n) {
         for (int64_t i = 0; i < avail; ++i) {
             out[pad + i] = rb->data[(start + i) % rb->capacity];
         }
-        int64_t rsv = rb->reserve_pos.load(std::memory_order_acquire);
+        // full fence: the copy's plain loads must complete before the
+        // validation load (an acquire load only orders LATER accesses)
+        std::atomic_thread_fence(std::memory_order_seq_cst);
+        int64_t rsv = rb->reserve_pos.load(std::memory_order_relaxed);
         if (rsv - start <= rb->capacity) return avail;
     }
 }
@@ -128,7 +137,7 @@ int64_t vad_leading_silence_ms(const float* audio, int64_t n, int sample_rate,
 // stream (network/mic feeder) writes its row; ONE consumer (the serving
 // loop) gathers; rows are independent, so producers never contend with each
 // other. Publication protocol per stream: the producer RESERVES the span
-// (reserve_pos, release) before touching ring data and PUBLISHES it
+// (reserve_pos + full fence) before touching ring data and PUBLISHES it
 // (write_pos, release) after — the consumer sizes reads off write_pos and
 // validates the copied span against reserve_pos, so an in-progress lap
 // (producer mid-overwrite of the span being copied) is always detected.
@@ -185,7 +194,10 @@ static void row_write(float* row, int64_t capacity, int64_t pos, const float* sr
 void mux_push_f32(StreamMux* m, int64_t stream, const float* pcm, int64_t n) {
     float* row = m->data + stream * m->capacity;
     int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
-    m->reserve_pos[stream].store(pos + n, std::memory_order_release);  // intent first
+    m->reserve_pos[stream].store(pos + n, std::memory_order_relaxed);
+    // full fence: a release store would not keep the LATER data stores
+    // from being reordered above it — the intent must be visible first
+    std::atomic_thread_fence(std::memory_order_seq_cst);
     row_write(row, m->capacity, pos, pcm, n);
     m->write_pos[stream].store(pos + n, std::memory_order_release);
 }
@@ -193,7 +205,10 @@ void mux_push_f32(StreamMux* m, int64_t stream, const float* pcm, int64_t n) {
 void mux_push_i16(StreamMux* m, int64_t stream, const int16_t* pcm, int64_t n) {
     float* row = m->data + stream * m->capacity;
     int64_t pos = m->write_pos[stream].load(std::memory_order_relaxed);
-    m->reserve_pos[stream].store(pos + n, std::memory_order_release);  // intent first
+    m->reserve_pos[stream].store(pos + n, std::memory_order_relaxed);
+    // full fence: a release store would not keep the LATER data stores
+    // from being reordered above it — the intent must be visible first
+    std::atomic_thread_fence(std::memory_order_seq_cst);
     // convert in bounded chunks through a stack buffer, then 2-segment copy
     float tmp[2048];
     int64_t done = 0;
@@ -210,7 +225,10 @@ void mux_push_i16(StreamMux* m, int64_t stream, const int16_t* pcm, int64_t n) {
 // samples waiting for the consumer on `stream` (>= 0; may exceed capacity if
 // the producer lapped — the overrun is resolved at the next gather)
 int64_t mux_pending(const StreamMux* m, int64_t stream) {
-    return m->write_pos[stream].load(std::memory_order_acquire) - m->read_pos[stream];
+    // clamp: an overrun skip can persist read_pos past a reservation whose
+    // publish hasn't landed yet, briefly putting read ahead of write
+    int64_t d = m->write_pos[stream].load(std::memory_order_acquire) - m->read_pos[stream];
+    return d < 0 ? 0 : d;
 }
 
 // Gather the next `hop` samples of EVERY stream into out (n_streams, hop):
@@ -260,7 +278,9 @@ int64_t mux_gather_range(StreamMux* m, float* out, int64_t hop, int8_t* status,
                 if (hop > first) std::memcpy(dst + first, row, sizeof(float) * (hop - first));
             }
             // the copy is valid iff no producer reservation reached into it
-            int64_t rsv2 = m->reserve_pos[s].load(std::memory_order_acquire);
+            // full fence before validating (see ring_latest)
+            std::atomic_thread_fence(std::memory_order_seq_cst);
+            int64_t rsv2 = m->reserve_pos[s].load(std::memory_order_relaxed);
             if (rsv2 - rp > m->capacity) {
                 if (attempt < 8) continue;  // lap raced the copy: retry
                 // producer laps faster than we can copy (pathological):
