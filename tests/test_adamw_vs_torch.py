@@ -1,0 +1,81 @@
+"""Differential test: the training optimizer vs the ACTUAL torch AdamW.
+
+The reference trains with ``AdamW(params, lr, weight_decay)`` and decays the
+group lr by ``lr_decay`` once per epoch (ref training/run/train.py:256,
+306-307). howl_tpu reproduces that with optax.adamw under a staircase
+exponential-decay schedule (training/state.py). Equivalence is load-bearing:
+the reference recipes' tuned lr / decay / weight_decay transfer only if the
+bias correction, eps placement, and DECOUPLED weight-decay coupling all
+match. Pin a multi-epoch parameter trajectory against torch exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import optax
+import pytest
+
+
+def _torch_trajectory(w0, grads, lr, weight_decay, lr_decay, steps_per_epoch):
+    torch = pytest.importorskip("torch")
+
+    p = torch.from_numpy(w0.copy()).double().requires_grad_(True)
+    opt = torch.optim.AdamW([p], lr=lr, weight_decay=weight_decay)
+    out = []
+    for step, g in enumerate(grads):
+        # ref train.py:306-307 decays the group lr at the TOP of each epoch
+        # after the first; the staircase schedule evaluates lr at the current
+        # step, so align by decaying before the first step of epoch k>0
+        if step > 0 and step % steps_per_epoch == 0:
+            for group in opt.param_groups:
+                group["lr"] *= lr_decay
+        p.grad = torch.from_numpy(g).double()
+        opt.step()
+        out.append(p.detach().numpy().copy())
+    return out
+
+
+def _optax_trajectory(w0, grads, lr, weight_decay, lr_decay, steps_per_epoch):
+    import jax
+    import jax.numpy as jnp
+
+    schedule = optax.exponential_decay(
+        init_value=lr, transition_steps=steps_per_epoch, decay_rate=lr_decay, staircase=True
+    )
+    tx = optax.adamw(schedule, weight_decay=weight_decay)
+    params = jnp.asarray(w0, jnp.float64)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, g):
+        updates, state = tx.update(g, state, params)
+        return optax.apply_updates(params, updates), state
+
+    out = []
+    for g in grads:
+        params, state = step(params, state, jnp.asarray(g, jnp.float64))
+        out.append(np.asarray(params))
+    return out
+
+
+@pytest.mark.parametrize("weight_decay", [0.0, 1e-2])
+def test_adamw_trajectory_matches_torch(rng, weight_decay):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        w0 = rng.standard_normal(37)
+        grads = [rng.standard_normal(37) for _ in range(7)]
+        kwargs = dict(lr=0.01, weight_decay=weight_decay, lr_decay=0.9, steps_per_epoch=2)
+        ref = _torch_trajectory(w0, grads, **kwargs)
+        got = _optax_trajectory(w0, grads, **kwargs)
+        # the sole f64 divergence is optax.exponential_decay emitting the lr
+        # as float32 (float32(0.01) is 2.24e-10 low): each step inherits that
+        # 2e-8 RELATIVE lr error, so the trajectories drift ~2e-10/step —
+        # measured 2.8e-9 after 7 steps, far below f32 training noise. The
+        # 1e-8 atol pins everything else (bias correction, eps placement,
+        # decoupled decay, staircase boundary) exactly.
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g, r, rtol=0, atol=1e-8)
+    finally:
+        jax.config.update("jax_enable_x64", False)
