@@ -70,7 +70,13 @@ class ContextConfig(_JsonMixin):
 
 @dataclass
 class InferenceEngineConfig(_JsonMixin):
-    per_frame: bool = False  # FrameInferenceEngine vs whole-clip InferenceEngine
+    # NOTE: the reference declares a ``per_frame`` flag here (ref
+    # howl/config.py:36) that nothing reads — engine cadence is decided by the
+    # model family (per-window for static models, whole-clip for sequential
+    # ones; inference/engine.py score_batch). We drop the decorative flag;
+    # tests/test_config_consumption.py enforces that every remaining field has
+    # a real consumer. ``from_dict`` ignores unknown keys, so reference JSON
+    # configs containing ``per_frame`` still parse.
     inference_weights: Optional[List[float]] = None
     inference_window_ms: float = 2000.0
     smoothing_window_ms: float = 50.0
@@ -140,6 +146,7 @@ class TrainingConfig(_JsonMixin):
         tr.eval_stride_size_seconds = self.eval_stride_size_seconds
         tr.use_noise_dataset = self.use_noise_dataset
         tr.seed = self.seed
+        settings.cache.cache_size = self.cache_config.cache_size
         if self.context_config.vocab:
             tr.vocab = list(self.context_config.vocab)
         tr.token_type = self.context_config.token_type

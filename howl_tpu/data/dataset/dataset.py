@@ -99,28 +99,44 @@ class AudioDataset:
     def load_audio(self, metadata: AudioClipMetadata) -> np.ndarray:
         return audio_utils.silent_load(metadata.path, self.sample_rate, self.mono)
 
-    def audio_length_seconds(self, sample_limit: Optional[int] = None) -> float:
-        total = 0.0
-        for metadata in self.metadata_list[:sample_limit]:
-            total += len(self.load_audio(metadata)) / self.sample_rate
-        return total
+    def audio_length_seconds(self, sample_limit: Optional[int] = None, num_workers: Optional[int] = None) -> float:
+        from howl_tpu.utils.parallel import parallel_map
 
-    def compute_statistics(self, word_searcher=None, compute_length: bool = True) -> dict:
-        """Dataset stats: clip count, audio hours, vocab occurrence counts
-        (ref dataset.py:175-238; sequential here — single-host decode)."""
+        durations = parallel_map(
+            lambda metadata: len(self.load_audio(metadata)) / self.sample_rate,
+            self.metadata_list[:sample_limit],
+            num_workers=num_workers,
+        )
+        return float(sum(durations))
+
+    def compute_statistics(
+        self, word_searcher=None, compute_length: bool = True, num_workers: Optional[int] = None
+    ) -> dict:
+        """Dataset stats: clip count, audio hours, vocab occurrence counts.
+        Per-clip work runs on a worker pool sized by ``num_workers`` (None ->
+        SETTINGS.resource.cpu_count), matching the reference's pooled
+        ``_compute_sample_statistic`` (ref dataset.py:175-194); the reduction
+        over ordered per-clip results is identical to a sequential run."""
+        from howl_tpu.utils.parallel import parallel_map
+
         stats = {"num_examples": len(self.metadata_list)}
         if compute_length:
-            stats["audio_length_seconds"] = self.audio_length_seconds()
+            stats["audio_length_seconds"] = self.audio_length_seconds(num_workers=num_workers)
         if word_searcher is not None:
+            per_clip = parallel_map(
+                lambda metadata: word_searcher.count_vocab(metadata.transcription),
+                self.metadata_list,
+                num_workers=num_workers,
+            )
             counts: dict = {}
-            for metadata in self.metadata_list:
-                for word, count in word_searcher.count_vocab(metadata.transcription).items():
+            for clip_counts in per_clip:
+                for word, count in clip_counts.items():
                     counts[word] = counts.get(word, 0) + count
             stats["vocab_counts"] = counts
         return stats
 
-    def print_stats(self, header: str = "", word_searcher=None, compute_length: bool = True):
-        stats = self.compute_statistics(word_searcher, compute_length)
+    def print_stats(self, header: str = "", word_searcher=None, compute_length: bool = True, num_workers=None):
+        stats = self.compute_statistics(word_searcher, compute_length, num_workers=num_workers)
         Logger.info(f"{header} dataset stats: {stats}")
         return stats
 

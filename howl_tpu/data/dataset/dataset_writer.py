@@ -60,19 +60,26 @@ class AudioDatasetWriter:
         metadata.path = new_path
         return metadata
 
-    def write(self, dataset_path: Path):
+    def write(self, dataset_path: Path, num_workers: int = None):
+        """Re-encode every clip, ``num_workers`` at a time (None ->
+        SETTINGS.resource.cpu_count; the reference pools this step too, ref
+        dataset_writer.py:97-100). Each clip writes a distinct file and the
+        surviving metadata keeps input order, so the jsonl output is
+        bit-identical to a sequential run."""
         dataset_path = Path(dataset_path)
         Logger.info(f"writing flat dataset to {dataset_path}")
         dataset_path.mkdir(parents=True, exist_ok=True)
         audio_dir = dataset_path / DIR_AUDIO
         audio_dir.mkdir(exist_ok=True)
 
-        written = []
-        for metadata in self.dataset.metadata_list:
-            new_metadata = self._save_audio_file(metadata, audio_dir)
-            if new_metadata is not None:
-                written.append(new_metadata)
-        self.dataset.metadata_list = written
+        from howl_tpu.utils.parallel import parallel_map
+
+        results = parallel_map(
+            lambda metadata: self._save_audio_file(metadata, audio_dir),
+            self.dataset.metadata_list,
+            num_workers=num_workers,
+        )
+        self.dataset.metadata_list = written = [m for m in results if m is not None]
 
         split = self.dataset.dataset_split
         if not isinstance(split, DatasetSplit):

@@ -34,13 +34,25 @@ class HeySnipsWakeWordLoader(RegisteredPathDatasetLoader, name="hey-snips"):
         def load(filename, set_type):
             Logger.info(f"loading split {filename}")
             raw_list = json.loads((path / filename).read_text())
+            # negatives get STT'd on a worker pool (the reference pools
+            # PocketSphinx the same way, ref hey_snips_dataset_loader.py:19,33);
+            # ordered results keep the metadata order identical to sequential
+            negative_paths = [
+                (path / raw["audio_file_path"]).absolute() for raw in raw_list if raw["is_hotword"] == 0
+            ]
+            transcriptions = {}
+            if self.transcriber is not None and negative_paths:
+                from howl_tpu.utils.parallel import parallel_map
+
+                results = parallel_map(self.transcriber, negative_paths)
+                transcriptions = dict(zip(negative_paths, results))
             metadata_list = []
             fail_count = 0
             for raw in raw_list:
                 clip_path = (path / raw["audio_file_path"]).absolute()
                 if raw["is_hotword"] == 0:
                     if self.transcriber is not None:
-                        transcription = self.transcriber(clip_path)
+                        transcription = transcriptions[clip_path]
                         if transcription == "":
                             fail_count += 1
                             continue

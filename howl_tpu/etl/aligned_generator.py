@@ -26,6 +26,18 @@ class AlignmentType(str, Enum):
     STUB = "stub"
 
 
+def _convert_textgrid(path_str: str, use_phones: bool):
+    """Parse + convert one TextGrid (module-level so a spawn-context process
+    pool can pickle it). Returns (stem, AlignedTranscription | None)."""
+    path = Path(path_str)
+    try:
+        converter = MfaTextGridConverter(use_phones=use_phones)
+        return path.stem, converter.convert(TextGrid.from_file(path))
+    except Exception as e:  # noqa: BLE001 — skip malformed grids, keep going
+        Logger.warning(f"failed to parse {path}: {e}")
+        return path.stem, None
+
+
 class AlignedAudioDatasetGenerator:
     def __init__(
         self,
@@ -35,6 +47,7 @@ class AlignedAudioDatasetGenerator:
         sample_rate: int = None,
         mono: bool = None,
         token_type: TokenType = None,
+        num_workers: Optional[int] = None,
     ):
         self.raw_audio_dataset_path = Path(raw_audio_dataset_path)
         if not self.raw_audio_dataset_path.exists():
@@ -50,7 +63,7 @@ class AlignedAudioDatasetGenerator:
         if alignment_type == AlignmentType.MFA:
             if alignments_path is None:
                 raise ValueError("MFA alignment requires --alignments-path")
-            self.alignments = self._load_mfa_alignments(Path(alignments_path), token_type)
+            self.alignments = self._load_mfa_alignments(Path(alignments_path), token_type, num_workers)
         elif alignment_type == AlignmentType.STUB:
             # the stub aligner needs only transcription + duration: read the
             # WAV header for the sample count instead of decoding every clip
@@ -67,14 +80,23 @@ class AlignedAudioDatasetGenerator:
             raise ValueError(f"alignment type is invalid: {alignment_type}")
 
     @staticmethod
-    def _load_mfa_alignments(alignments_path: Path, token_type: TokenType) -> Dict[str, AlignedTranscription]:
-        converter = MfaTextGridConverter(use_phones=token_type == TokenType.PHONE)
-        alignments = {}
-        for path in sorted(alignments_path.glob("**/*.TextGrid")):
-            try:
-                alignments[path.stem] = converter.convert(TextGrid.from_file(path))
-            except Exception as e:  # noqa: BLE001 — skip malformed grids, keep going
-                Logger.warning(f"failed to parse {path}: {e}")
+    def _load_mfa_alignments(
+        alignments_path: Path, token_type: TokenType, num_workers: Optional[int] = None
+    ) -> Dict[str, AlignedTranscription]:
+        """TextGrid ingestion on a worker pool (ref pools this too,
+        aligned_audio_dataset_generator.py:98-116). Parsing is pure Python, so
+        the pool is spawn-context PROCESSES (utils/parallel.py on why spawn);
+        ordered results keep the alignment map identical to a sequential run."""
+        from functools import partial
+
+        from howl_tpu.utils.parallel import parallel_map
+
+        paths = [str(p) for p in sorted(alignments_path.glob("**/*.TextGrid"))]
+        use_phones = token_type == TokenType.PHONE
+        results = parallel_map(
+            partial(_convert_textgrid, use_phones=use_phones), paths, num_workers=num_workers, mode="process"
+        )
+        alignments = {stem: aligned for stem, aligned in results if aligned is not None}
         Logger.info(f"loaded {len(alignments)} alignments from {alignments_path}")
         return alignments
 

@@ -44,7 +44,12 @@ class RawAudioDatasetGenerator:
         raise RuntimeError(f"invalid sample type: {sample_type}")
 
     def generate_datasets(
-        self, dataset_path: Path, sample_type: SampleType, percentage: int = 100, print_statistics: bool = True
+        self,
+        dataset_path: Path,
+        sample_type: SampleType,
+        percentage: int = 100,
+        print_statistics: bool = True,
+        num_workers: int = None,
     ):
         Logger.info(f"generating {sample_type.value} dataset using {percentage}% of the data")
 
@@ -58,7 +63,10 @@ class RawAudioDatasetGenerator:
             dataset = source.filter(keep, clone=True)
             if print_statistics:
                 dataset.print_stats(
-                    header=dataset.dataset_split.value, word_searcher=word_searcher, compute_length=True
+                    header=dataset.dataset_split.value,
+                    word_searcher=word_searcher,
+                    compute_length=True,
+                    num_workers=num_workers,
                 )
             Logger.info(f"generating {dataset.dataset_split.value} split")
-            AudioDatasetWriter(dataset, AudioDatasetType.RAW).write(Path(dataset_path))
+            AudioDatasetWriter(dataset, AudioDatasetType.RAW).write(Path(dataset_path), num_workers=num_workers)

@@ -27,12 +27,28 @@ class Trainer:
     def _dataset_paths(self, dataset_cfgs) -> list:
         return [cfg.path for cfg in dataset_cfgs if cfg.path]
 
+    def _all_dataset_paths(self) -> list:
+        """Deduped union of train/val/test dataset paths. Each howl dataset
+        dir carries all three split jsonls and the loader reads them all
+        (train.py:248-252), so per-split dir separation is not meaningful —
+        the reference's canonical config points every list at the same dir
+        (ref test/test_data/test_training_config.json)."""
+        seen: dict = {}
+        for cfgs in (
+            self.training_cfg.train_datasets,
+            self.training_cfg.val_datasets,
+            self.training_cfg.test_datasets,
+        ):
+            for path in self._dataset_paths(cfgs):
+                seen.setdefault(path, None)
+        return list(seen)
+
     def train(self, extra_args: Optional[list] = None) -> dict:
         """Train on the configured datasets; returns the eval results dict."""
         from howl_tpu.training.run.train import run as train_run
 
         self.training_cfg.apply_to_settings()
-        dataset_paths = self._dataset_paths(self.training_cfg.train_datasets)
+        dataset_paths = self._all_dataset_paths()
         if not dataset_paths:
             raise ValueError("training_cfg.train_datasets has no dataset paths")
         args = [
@@ -66,7 +82,7 @@ class Trainer:
             self.training_cfg.workspace_path,
             "--eval",
         ]
-        for path in self._dataset_paths(self.training_cfg.train_datasets):
+        for path in self._all_dataset_paths():
             args += ["-i", path]
         args += list(extra_args or [])
         return train_run(args)

@@ -18,6 +18,12 @@ def run(args=None):
         opt("--token-type", type=str, default="word", choices=[e.value for e in TokenType]),
         opt("--alignment-type", type=str, required=True, choices=[e.value for e in AlignmentType]),
         opt("--alignments-path", type=str, default=None, help="location of the MFA TextGrid files"),
+        opt(
+            "--num-workers",
+            type=int,
+            default=None,
+            help="worker pool size for TextGrid ingestion (default: SETTINGS.resource.cpu_count)",
+        ),
     )
     args = apb.parser.parse_args(args)
 
@@ -26,6 +32,7 @@ def run(args=None):
         AlignmentType(args.alignment_type),
         alignments_path=Path(args.alignments_path) if args.alignments_path else None,
         token_type=TokenType(args.token_type),
+        num_workers=args.num_workers,
     )
     generator.generate_datasets()
 

@@ -46,6 +46,12 @@ def run(args=None):
         opt("--positive-pct", type=int, default=100, help="percentage of the corpus for positives"),
         opt("--negative-pct", type=int, default=100, help="percentage of the corpus for negatives"),
         opt("--overwrite", action="store_true"),
+        opt(
+            "--num-workers",
+            type=int,
+            default=None,
+            help="worker pool size for clip re-encode + stats (default: SETTINGS.resource.cpu_count)",
+        ),
     )
     args = apb.parser.parse_args(args)
 
@@ -63,7 +69,7 @@ def run(args=None):
             Logger.warning(f"{out_dir} exists; pass --overwrite to regenerate")
             continue
         out_dir.mkdir(parents=True, exist_ok=True)
-        generator.generate_datasets(out_dir, sample_type, pct)
+        generator.generate_datasets(out_dir, sample_type, pct, num_workers=args.num_workers)
 
 
 def main():

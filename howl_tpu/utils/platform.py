@@ -14,7 +14,18 @@ import os
 def ensure_platform():
     env = os.environ.get("JAX_PLATFORMS")
     if not env:
-        return
+        # no explicit env override: honor SETTINGS.training.device (the
+        # reference's device knob, ref howl/settings.py:58 — there a torch
+        # device string, here a jax platform preference). The default "tpu"
+        # leaves whatever the deployment's sitecustomize registered; "cpu"
+        # forces host execution (e.g. DEVICE=cpu for ETL-only runs).
+        from howl_tpu.settings import SETTINGS
+
+        device = SETTINGS.training.device
+        if device and device.lower() in ("cpu",):
+            env = "cpu"
+        else:
+            return
     import jax
 
     try:

@@ -62,6 +62,7 @@ def _optax_trajectory(w0, grads, lr, weight_decay, lr_decay, steps_per_epoch):
 def test_adamw_trajectory_matches_torch(rng, weight_decay):
     import jax
 
+    prior_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         w0 = rng.standard_normal(37)
@@ -78,4 +79,4 @@ def test_adamw_trajectory_matches_torch(rng, weight_decay):
         for r, g in zip(ref, got):
             np.testing.assert_allclose(g, r, rtol=0, atol=1e-8)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prior_x64)

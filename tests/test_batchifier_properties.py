@@ -81,6 +81,9 @@ def test_negative_windows_avoid_guard_bands():
     for _ in range(20):
         batch = bf(samples)
         assert (batch.labels == NEG).all()
+        # guard-band assertions below must not pass vacuously: most rows of a
+        # 2 s clip with two positives have plenty of negative room to sample
+        assert int((batch.lengths > 0).sum()) >= len(samples) // 2, batch.lengths
         for row, length in zip(batch.audio_data, batch.lengths):
             if int(length) == 0:
                 continue  # degenerate empty interval pick

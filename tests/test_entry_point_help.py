@@ -39,7 +39,8 @@ def test_all_reference_scripts_present():
 def test_script_imports_and_help(name, capsys):
     mod = importlib.import_module(f"howl_tpu.training.run.{name}")
     assert hasattr(mod, "run") or hasattr(mod, "main"), f"{name} has no run()/main()"
-    entry = getattr(mod, "run", None) or mod.main
+    entry = mod.run if hasattr(mod, "run") else mod.main
+    assert callable(entry), f"{name}.{'run' if hasattr(mod, 'run') else 'main'} is not callable"
     with pytest.raises(SystemExit) as exc:
         entry(["--help"])
     assert exc.value.code == 0

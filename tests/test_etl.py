@@ -286,3 +286,66 @@ def test_mozilla_kw_and_snips_loaders(tmp_path):
     # pluggable transcriber
     train2, _, _ = HeySnipsWakeWordLoader(transcriber=lambda p: "negative words").load_splits(sn)
     assert train2.metadata_list[1].transcription == "negative words"
+
+
+def test_parallel_etl_matches_sequential(tmp_path):
+    """VERDICT r3 #6: worker pools for writer / stats / TextGrid ingestion
+    (ref dataset_writer.py:97-100, dataset.py:175-194,
+    aligned_audio_dataset_generator.py:98-116) must produce bit-identical
+    artifacts to the sequential path."""
+    from howl_tpu.data.common.metadata import AudioClipMetadata
+    from howl_tpu.data.dataset.constants import AudioDatasetType
+    from howl_tpu.data.dataset.dataset import AudioClipDataset, DatasetType
+    from howl_tpu.data.dataset.dataset_writer import AudioDatasetWriter
+    from howl_tpu.utils.audio_utils import write_wav
+
+    rng = np.random.default_rng(7)
+    src = tmp_path / "src"
+    src.mkdir()
+    metadata = []
+    for i in range(9):
+        name = f"clip{i}.wav"
+        write_wav(src / name, tone(300 + 40 * i, 0.3, rng=rng), SR)
+        metadata.append(AudioClipMetadata(path=src / name, transcription=f"words number {i}"))
+
+    def write_with(workers, out_name):
+        ds = AudioClipDataset([m for m in metadata], DatasetType.TRAINING, sample_rate=SR, mono=True)
+        out = tmp_path / out_name
+        AudioDatasetWriter(ds, AudioDatasetType.RAW).write(out, num_workers=workers)
+        return out
+
+    seq, par = write_with(1, "seq"), write_with(4, "par")
+    seq_files = sorted(p.relative_to(seq) for p in seq.rglob("*") if p.is_file())
+    par_files = sorted(p.relative_to(par) for p in par.rglob("*") if p.is_file())
+    assert seq_files == par_files and len(seq_files) > 9
+    for rel in seq_files:
+        assert (seq / rel).read_bytes() == (par / rel).read_bytes(), rel
+
+    # statistics: pooled == sequential
+    from howl_tpu.context import InferenceContext
+
+    searcher = InferenceContext(vocab=["words"], token_type="word").searcher
+    ds = AudioClipDataset(metadata, DatasetType.TRAINING, sample_rate=SR, mono=True)
+    s1 = ds.compute_statistics(word_searcher=searcher, num_workers=1)
+    s4 = ds.compute_statistics(word_searcher=searcher, num_workers=4)
+    assert s1 == s4 and s1["vocab_counts"] == {"words": 9}
+
+    # TextGrid ingestion: spawn-process pool == sequential
+    from howl_tpu.data.common.tokenizer import TokenType
+    from howl_tpu.etl.aligned_generator import AlignedAudioDatasetGenerator
+
+    grids = tmp_path / "grids"
+    grids.mkdir()
+    for i in range(4):
+        (grids / f"clip{i}.TextGrid").write_text(
+            'item [1]:\n    class = "IntervalTier"\n    name = "words"\n'
+            "    intervals: size = 1\n"
+            f"    intervals [1]:\n        xmin = 0.1\n        xmax = 0.{4 + i}\n        text = \"hey\"\n"
+        )
+    (grids / "broken.TextGrid").write_text("not a textgrid at all")
+    a1 = AlignedAudioDatasetGenerator._load_mfa_alignments(grids, TokenType.WORD, num_workers=1)
+    a2 = AlignedAudioDatasetGenerator._load_mfa_alignments(grids, TokenType.WORD, num_workers=2)
+    assert sorted(a1) == sorted(a2) == [f"clip{i}" for i in range(4)]
+    for stem in a1:
+        assert a1[stem].transcription == a2[stem].transcription
+        assert a1[stem].end_timestamps == a2[stem].end_timestamps
