@@ -81,10 +81,13 @@ def train_flops_per_example(window_samples: int, frontend, maps=45, num_labels=4
 
 
 def bench_train_step(on_tpu: bool):
-    """Training benchmark at the documented bf16 batch-1024 recipe
-    (docs/PERFORMANCE.md): returns (examples_per_sec, train_mfu,
-    noise_examples_per_sec). The third number is the same step with
-    noise-bank mixing from a (512, 32000) device-resident bank — the
+    """Training benchmark at the documented batch-1024 recipe
+    (docs/PERFORMANCE.md): returns (bf16_examples_per_sec, train_mfu,
+    noise_examples_per_sec, f32_examples_per_sec). bf16 is the headline
+    (train.py --bf16, convergence-parity gated by tests/test_train_bf16.py);
+    f32 is measured at the same geometry so the driver records the
+    mixed-precision delta (VERDICT r3 #1). The noise number is the bf16 step
+    plus noise-bank mixing from a (512, 32000) device-resident bank — the
     hey-firefox recipe's configuration, exercising the fused Pallas DMA
     gather+mix (ops/augment_pallas.py) on TPU."""
     import jax
@@ -103,21 +106,6 @@ def bench_train_step(on_tpu: bool):
     iters = 64 if on_tpu else 2
     window_samples = 8000
     frontend = FrontendConfig(n_mels=40)
-    step_cfg = StepConfig(
-        frontend=frontend,
-        zmuv_mean=0.0,
-        zmuv_std=1.0,
-        augment=AugmentConfig(),
-        use_vtlp=True,
-        negative_label=3,
-        use_deltas=False,
-        dft_precision=jax.lax.Precision.HIGH if on_tpu else None,
-    )
-    model = create_model("res8", num_labels=4, **({"dtype": jnp.bfloat16} if on_tpu else {}))
-    feats0 = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0), feats0, learning_rate=0.01, lr_decay=0.99, steps_per_epoch=100
-    )
     rng = np.random.default_rng(0)
     audio = jax.device_put((rng.standard_normal((batch, window_samples)) * 0.1).astype(np.float32))
     labels = jax.device_put(rng.integers(0, 4, batch).astype(np.int32))
@@ -126,7 +114,25 @@ def bench_train_step(on_tpu: bool):
         (rng.standard_normal((512 if on_tpu else 4, 32000 if on_tpu else 2048)) * 0.05).astype(np.float32)
     )
 
-    def measure(train_step):
+    def build(bf16: bool):
+        step_cfg = StepConfig(
+            frontend=frontend,
+            zmuv_mean=0.0,
+            zmuv_std=1.0,
+            augment=AugmentConfig(),
+            use_vtlp=True,
+            negative_label=3,
+            use_deltas=False,
+            dft_precision=jax.lax.Precision.HIGH if bf16 else None,
+        )
+        model = create_model("res8", num_labels=4, **({"dtype": jnp.bfloat16} if bf16 else {}))
+        feats0 = featurize(np.zeros((1, window_samples), np.float32), step_cfg)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), feats0, learning_rate=0.01, lr_decay=0.99, steps_per_epoch=100
+        )
+        return model, step_cfg, state
+
+    def measure(train_step, state):
         @partial(jax.jit, static_argnames=("n",))
         def run(state, key, n):
             def body(carry, _):
@@ -145,16 +151,22 @@ def bench_train_step(on_tpu: bool):
         _ = float(np.asarray(losses[-1]))
         return batch * iters / (time.perf_counter() - t0)
 
-    examples_per_sec = measure(make_classification_train_step(model, step_cfg))
+    model, step_cfg, state = build(bf16=on_tpu)
+    examples_per_sec = measure(make_classification_train_step(model, step_cfg), state)
     mfu = (
         train_flops_per_example(window_samples, frontend) * examples_per_sec / V5E_BF16_PEAK_FLOPS
         if on_tpu
         else 0.0
     )
     noise_examples_per_sec = measure(
-        make_classification_train_step(model, step_cfg._replace(replace_prob=0.1), bank)
+        make_classification_train_step(model, step_cfg._replace(replace_prob=0.1), bank), state
     )
-    return examples_per_sec, mfu, noise_examples_per_sec
+    if on_tpu:
+        f32_model, f32_cfg, f32_state = build(bf16=False)
+        f32_examples_per_sec = measure(make_classification_train_step(f32_model, f32_cfg), f32_state)
+    else:
+        f32_examples_per_sec = examples_per_sec
+    return examples_per_sec, mfu, noise_examples_per_sec, f32_examples_per_sec
 
 
 def main():
@@ -464,7 +476,9 @@ def main():
         del run_blk, chain, bbuf, beng
 
     # ---- training throughput + MFU at the documented bf16 batch-1024 config
-    train_examples_per_sec, train_mfu, train_noise_examples_per_sec = bench_train_step(on_tpu)
+    train_examples_per_sec, train_mfu, train_noise_examples_per_sec, train_f32_examples_per_sec = (
+        bench_train_step(on_tpu)
+    )
 
     print(
         json.dumps(
@@ -485,6 +499,7 @@ def main():
                 "train_examples_per_sec": round(train_examples_per_sec, 1),
                 "train_mfu": round(train_mfu, 4),
                 "train_noise_examples_per_sec": round(train_noise_examples_per_sec, 1),
+                "train_examples_per_sec_f32": round(train_f32_examples_per_sec, 1),
             }
         )
     )

@@ -226,6 +226,13 @@ def run(args=None) -> dict:
             help="host-side phase-vocoder time stretch on full clips before window "
             "sampling (ref transform.py:146-166; opt-in, rescales label timestamps)",
         ),
+        opt(
+            "--bf16",
+            action="store_true",
+            help="mixed-precision training: bf16 activations with f32 params/"
+            "optimizer state and a 3-pass HIGH-precision DFT GEMM (checkpoints "
+            "stay f32; convergence parity gated by tests/test_train_bf16.py)",
+        ),
     )
     args = apb.parser.parse_args(args)
     if args.seed is not None:
@@ -380,8 +387,12 @@ def run(args=None) -> dict:
         # (LAS); exactly value-preserving for channel-0 models since ZMUV is
         # one scalar affine (see StepConfig.use_deltas)
         use_deltas=model_spec(args.model).uses_deltas,
+        # bf16 mode: 3-pass HIGH DFT GEMM — its 2.2e-4 log-mel error sits far
+        # below the bf16 activation noise (docs/PERFORMANCE.md)
+        dft_precision=jax.lax.Precision.HIGH if args.bf16 else None,
     )
-    model = create_model(args.model, num_labels=ctx.num_labels)
+    model_kwargs = {"dtype": jnp.bfloat16} if args.bf16 else {}
+    model = create_model(args.model, num_labels=ctx.num_labels, **model_kwargs)
     spec = model_spec(args.model)
     if SETTINGS.training.convert_static:
         # wrap the static classifier into a per-frame sequential model
