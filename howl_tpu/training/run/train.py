@@ -233,6 +233,22 @@ def run(args=None) -> dict:
             "optimizer state and a 3-pass HIGH-precision DFT GEMM (checkpoints "
             "stay f32; convergence parity gated by tests/test_train_bf16.py)",
         ),
+        opt(
+            "--noise-bank-mb",
+            type=float,
+            default=16.0,
+            help="device-memory budget for the training noise bank (f32; 16 MB "
+            "= 524 half-second windows at 16 kHz). Sized by budget, not a "
+            "hard window count (VERDICT r3 #4)",
+        ),
+        opt(
+            "--noise-refresh-epochs",
+            type=int,
+            default=1,
+            help="re-draw the noise bank from the FULL corpus every N epochs "
+            "(host decode overlapped with training, swap costs zero recompile; "
+            "0 = static bank cut once at startup)",
+        ),
     )
     args = apb.parser.parse_args(args)
     if args.seed is not None:
@@ -320,6 +336,7 @@ def run(args=None) -> dict:
 
     # noise dataset -> device banks (train) + host banks (eval mixers)
     noise_bank = None
+    noise_sampler = None
     dev_mix_bank = test_mix_bank = None
     if SETTINGS.training.use_noise_dataset and SETTINGS.training.noise_dataset_path:
         noise_ds = RecursiveNoiseDatasetLoader().load(
@@ -335,7 +352,18 @@ def run(args=None) -> dict:
         noise_train = noise_train if len(noise_train) else noise_ds
         noise_dev = noise_dev if len(noise_dev) else noise_ds
         noise_test = noise_test if len(noise_test) else noise_ds
-        noise_bank = build_noise_bank(noise_train, window_samples)
+        # bank sized by memory budget, windows drawn from the FULL train-noise
+        # corpus; refreshed between epochs so long runs see the reference
+        # DatasetMixer's whole-corpus distribution (VERDICT r3 #4)
+        from howl_tpu.data.noise_bank import NoiseBankSampler, windows_for_budget
+
+        noise_sampler = NoiseBankSampler(
+            noise_train,
+            window_samples,
+            num_windows=windows_for_budget(args.noise_bank_mb, window_samples),
+            seed=SETTINGS.training.seed,
+        )
+        noise_bank = noise_sampler.sample(0)
         # eval mixers tile noise across the clip, so chunk size just needs to
         # be <= the shortest noise clip
         probe_lens = [len(noise_ds.load_audio(m)) for m in noise_ds.metadata_list[:8]]
@@ -491,6 +519,16 @@ def run(args=None) -> dict:
     else:
         train_step = make_ctc_train_step(model, step_cfg, noise_bank_dev)
 
+    # between-epoch bank refresh: decode the next draw on a background thread
+    # while this epoch trains; the swap is one upload + set_bank (same shape
+    # -> zero recompile, the bank is a traced argument of the step)
+    bank_prefetcher = None
+    if noise_sampler is not None and args.noise_refresh_epochs > 0 and args.use_augment:
+        from howl_tpu.data.noise_bank import NoiseBankPrefetcher
+
+        bank_prefetcher = NoiseBankPrefetcher(noise_sampler)
+        bank_prefetcher.start(1)
+
     key = jax.random.PRNGKey(SETTINGS.training.seed + 1)
     rng = np.random.default_rng(SETTINGS.training.seed)
     timestretch = None
@@ -525,6 +563,14 @@ def run(args=None) -> dict:
         if lr is not None:
             workspace.log_scalar("Training/LearningRate", float(lr), epoch_idx)
         Logger.info(f"epoch {epoch_idx}: loss={mean_loss:.4f}")
+        if (
+            bank_prefetcher is not None
+            and (epoch_idx + 1) % args.noise_refresh_epochs == 0
+            and epoch_idx + 1 < SETTINGS.training.num_epochs
+        ):
+            refresh_idx = (epoch_idx + 1) // args.noise_refresh_epochs
+            train_step.set_bank(jax.numpy.asarray(bank_prefetcher.get()))
+            bank_prefetcher.start(refresh_idx + 1)
         if args.eval_freq > 0 and epoch_idx % args.eval_freq == 0 and epoch_idx != 0:
             evaluate_engine(dev_pos, "Dev positive", True, save=True, epoch_idx=epoch_idx)
 

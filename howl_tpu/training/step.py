@@ -65,39 +65,72 @@ def featurize(audio: jnp.ndarray, cfg: StepConfig, key: Optional[jax.Array] = No
     return (feats - cfg.zmuv_mean) / cfg.zmuv_std
 
 
-def _bank_dispatch(noise_bank, build: Callable) -> Callable:
-    """Wrap a per-window-geometry step builder over an optional noise bank.
+class NoiseBankTrainStep:
+    """Train-step callable holding a REFRESHABLE device noise bank.
 
-    The bank's windowing views (``aug.PreparedNoiseBank``: wrap extension +
-    the Pallas kernel's tile-aligned flat view) are derived ONCE per window
-    size here, outside the step, and closed over as jit constants — deriving
-    them inside every step execution costs ~166 MB of HBM traffic per step at
-    the recipe (512, 32000) bank. Without a bank the builder's jitted step is
-    returned directly."""
+    The bank enters the jitted program as a traced ARGUMENT
+    (``aug.PreparedNoiseBank`` is a registered pytree), not a closure
+    constant, so ``set_bank`` with a same-shape bank swaps contents with ZERO
+    retrace/recompile — the epoch-refresh path that lets long runs sample the
+    entire noise corpus like the reference's per-example ``DatasetMixer``
+    (ref transform.py:199-229). The bank's windowing views (wrap extension +
+    the Pallas kernel's tile-aligned flat view) are derived ONCE per
+    (bank, window size) here — deriving them inside every step execution
+    costs ~166 MB of HBM traffic per step at the recipe (512, 32000) bank.
+    Call signature matches the bankless step: (state, audio, *rest)."""
+
+    def __init__(self, jitted: Callable, noise_bank):
+        self._jitted = jitted
+        self._prepared: dict = {}
+        self._bank = None
+        self.set_bank(noise_bank)
+
+    def set_bank(self, noise_bank):
+        """Swap in a refreshed bank (same shape -> no recompile)."""
+        self._prepared.clear()
+        if isinstance(noise_bank, aug.PreparedNoiseBank):
+            self._prepared[noise_bank.window] = noise_bank
+            self._bank = None
+        else:
+            self._bank = noise_bank
+
+    def _prepared_for(self, window: int) -> aug.PreparedNoiseBank:
+        prep = self._prepared.get(window)
+        if prep is None:
+            if self._bank is None:
+                raise ValueError(
+                    f"noise bank was prepared for windows {sorted(self._prepared)}; "
+                    f"cannot serve {window}-sample windows (set_bank with a raw array to re-derive)"
+                )
+            prep = self._prepared[window] = aug.prepare_noise_bank(self._bank, window)
+        return prep
+
+    def __call__(self, state, audio, *rest):
+        return self._jitted(state, audio, *rest, self._prepared_for(audio.shape[-1]))
+
+
+def _with_bank(noise_bank, jitted: Callable) -> Callable:
+    """Bind an optional noise bank to a jitted step taking it as last arg."""
     if noise_bank is None:
-        return build(None)
-    if isinstance(noise_bank, aug.PreparedNoiseBank):
-        return build(noise_bank)
-    steps = {}
 
-    def call(state, audio, *rest):
-        n = audio.shape[-1]
-        fn = steps.get(n)
-        if fn is None:
-            fn = steps[n] = build(aug.prepare_noise_bank(noise_bank, n))
-        return fn(state, audio, *rest)
+        def step(state, audio, *rest):
+            return jitted(state, audio, *rest, None)
 
-    return call
+        return step
+    return NoiseBankTrainStep(jitted, noise_bank)
 
 
 def make_classification_train_step(model, cfg: StepConfig, noise_bank=None) -> Callable:
-    """Returns jitted (state, audio, labels, lengths, key) -> (state, metrics)."""
-    return _bank_dispatch(noise_bank, lambda bank: _build_classification_step(model, cfg, bank))
+    """Returns jitted (state, audio, labels, lengths, key) -> (state, metrics).
+
+    With a noise bank, the returned callable is a ``NoiseBankTrainStep``
+    (same call signature) whose bank can be hot-swapped via ``set_bank``."""
+    return _with_bank(noise_bank, _build_classification_step(model, cfg))
 
 
-def _build_classification_step(model, cfg: StepConfig, noise_bank) -> Callable:
+def _build_classification_step(model, cfg: StepConfig) -> Callable:
     @jax.jit
-    def train_step(state, audio, labels, lengths, key):
+    def train_step(state, audio, labels, lengths, key, noise_bank):
         k_wave, k_vtlp, k_spec, k_drop = jax.random.split(jax.random.fold_in(key, state.step), 4)
         if cfg.augment is not None:
             audio, replaced = aug.augment_audio(audio, k_wave, cfg.augment, noise_bank, cfg.replace_prob)
@@ -153,12 +186,12 @@ def make_classification_eval_step(model, cfg: StepConfig) -> Callable:
 
 def make_ctc_train_step(model, cfg: StepConfig, noise_bank=None) -> Callable:
     """CTC objective over sequential models (ref train.py:250-253, 293-299)."""
-    return _bank_dispatch(noise_bank, lambda bank: _build_ctc_step(model, cfg, bank))
+    return _with_bank(noise_bank, _build_ctc_step(model, cfg))
 
 
-def _build_ctc_step(model, cfg: StepConfig, noise_bank) -> Callable:
+def _build_ctc_step(model, cfg: StepConfig) -> Callable:
     @jax.jit
-    def train_step(state, audio, labels, audio_lengths, label_lengths, key):
+    def train_step(state, audio, labels, audio_lengths, label_lengths, key, noise_bank):
         k_wave, k_vtlp, k_spec, k_drop = jax.random.split(jax.random.fold_in(key, state.step), 4)
         if cfg.augment is not None:
             audio, _ = aug.augment_audio(audio, k_wave, cfg.augment, noise_bank, 0.0)
