@@ -107,6 +107,12 @@ class StreamingEngine:
         from howl_tpu.inference.config import hop_geometry
 
         self.window_frames, self.stride_frames, self.stride_ms = hop_geometry(cfg, frontend)
+        # full-window validity (ref parity): FrameInferenceEngine strides with
+        # drop_incomplete=True (ref inference.py:234 + audio_utils.py:46-47),
+        # so the reference scores ONLY windows with all window_samples real
+        # samples — its `< 1000: break` (ref :238) is unreachable. Tail
+        # windows with fewer real samples are masked invalid here to match.
+        self.window_samples = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate)
         self.fused_trunk = (
             (self.spec.supports_trunk and not self.spec.is_sequential and not self.spec.is_recurrent)
             if fused_trunk is None
@@ -216,9 +222,10 @@ class StreamingEngine:
         """Right-pad clips shorter than one window with silence so the strided
         window gather never clamp-duplicates frames (JAX clamps out-of-range
         gather indices, fabricating a window of repeated last frames). The
-        returned true lengths keep the >=1000-real-samples window validity
-        rule (ref inference.py:231-233). Sequential models score per frame
-        and need no padding."""
+        returned true lengths keep the full-window validity rule — like the
+        reference, a clip shorter than one window yields no scored windows
+        and can never fire (ref inference.py:234 + audio_utils.py:46-47).
+        Sequential models score per frame and need no padding."""
         if self.spec.is_sequential:
             return audio, lengths
         num = audio.shape[-1]
@@ -270,9 +277,9 @@ class StreamingEngine:
     def _score_weight_mask(self, variables, audio, lengths, n_windows):
         """Shared scoring front half of the fused decision programs: model
         posteriors, inference weights, and the per-step validity mask (the
-        sequential frame-length clamp vs the reference's >=1000-sample window
-        rule, ref inference.py:228-233). Single home so infer_batch and
-        infer_sweep_batch can never desynchronize."""
+        sequential frame-length clamp vs the reference's full-window stride
+        rule, ref inference.py:234 + audio_utils.py:46-47). Single home so
+        infer_batch and infer_sweep_batch can never desynchronize."""
         probs = self._score(variables, audio, n_windows)  # (B, T, L)
         t_steps = probs.shape[1]
         probs = apply_inference_weights(probs, self.cfg)
@@ -282,7 +289,7 @@ class StreamingEngine:
             valid = jnp.arange(t_steps)[None, :] < frame_len[:, None]
         else:
             win_start = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
-            valid = (lengths[:, None] - win_start) >= 1000
+            valid = (lengths[:, None] - win_start) >= self.window_samples
         return probs, valid
 
     def _build_infer_fused(self):
@@ -357,9 +364,10 @@ class StreamingEngine:
                 frame_len = jnp.clip(frame_len, 1, t_steps)
                 per_step = jnp.arange(t_steps)[None, :] < frame_len[:, None]
             else:
-                # window i valid if it has >=1000 real samples (ref :231-233)
+                # window i valid only when FULL (ref strides with
+                # drop_incomplete=True, inference.py:234 + audio_utils.py:46-47)
                 win_start_samples = jnp.arange(t_steps)[None, :] * self.stride_frames * self.frontend.hop_length
-                per_step = (lengths[:, None] - win_start_samples) >= 1000
+                per_step = (lengths[:, None] - win_start_samples) >= self.window_samples
             valid = per_step
         else:
             valid = jnp.ones((batch, t_steps), bool)

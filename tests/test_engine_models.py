@@ -82,8 +82,9 @@ def test_seq_lstm_whole_clip_engine(rng):
 
 def test_short_clip_padded_not_fabricated(rng):
     """Clips shorter than one window are right-padded with silence — the
-    window gather must not clamp-duplicate the last frame, and windows with
-    <1000 real samples are invalid (ref inference.py:231-233)."""
+    window gather must not clamp-duplicate the last frame, and partial
+    windows are invalid: like the reference (stride drop_incomplete=True,
+    ref inference.py:234 + audio_utils.py:46-47) a short clip never fires."""
     engine = _engine_for("res8")
     short = (rng.standard_normal((2, 4800)) * 0.1).astype(np.float32)  # 0.3 s < 0.5 s window
     out = engine.infer_batch(short)
