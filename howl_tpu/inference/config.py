@@ -82,7 +82,10 @@ def hop_geometry(cfg: "EngineConfig", frontend) -> tuple:
     smoothing/FSM rings from the raw cfg stride instead would drift the
     engines apart (documented deviation, engine.py module docstring)."""
     hop, sr = frontend.hop_length, cfg.sample_rate
-    window_frames = int(cfg.max_window_size_ms / 1000 * sr) // hop + 1
+    # honor the frontend's framing convention: with center=True a
+    # window_samples window yields samples//hop + 1 frames; with center=False
+    # (no reflect padding) only the fully-covered frames exist
+    window_frames = frontend.num_frames(int(cfg.max_window_size_ms / 1000 * sr))
     stride_frames = max(1, round(cfg.eval_stride_size_ms / 1000 * sr / hop))
     stride_ms = stride_frames * hop / sr * 1000.0
     return window_frames, stride_frames, stride_ms
