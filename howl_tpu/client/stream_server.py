@@ -35,6 +35,18 @@ class TickResult(NamedTuple):
     any_fired: bool
 
 
+class CadenceAlarm(NamedTuple):
+    """Raised-to-listeners record of a sustained cadence breach: the engine
+    step (gather + device dispatch) exceeded the tick budget for
+    ``consecutive`` ticks in a row — the configuration is unsustainable
+    (see howl_tpu/inference/capacity.py) and streams are falling behind."""
+
+    tick: int
+    step_seconds: float
+    tick_seconds: float
+    consecutive: int
+
+
 class MultiStreamServer:
     """Drives a push-based batched online engine from a NativeStreamMux.
 
@@ -45,7 +57,10 @@ class MultiStreamServer:
     ticks of audio (jitter tolerance before audio is dropped).
     """
 
-    def __init__(self, engine, capacity_ticks: int = 16, gather_threads: int = 1):
+    def __init__(
+        self, engine, capacity_ticks: int = 16, gather_threads: int = 1,
+        alarm_after: int = 8,
+    ):
         if not hasattr(engine, "push") or not hasattr(engine, "hop_samples"):
             raise ValueError(
                 "MultiStreamServer needs a push-based online engine "
@@ -64,6 +79,18 @@ class MultiStreamServer:
         self.detections = np.zeros(self.num_streams, np.int64)
         self.underruns = np.zeros(self.num_streams, np.int64)
         self.overruns = np.zeros(self.num_streams, np.int64)
+        # cadence-breach alarm: a step (gather + engine dispatch) longer than
+        # the tick budget means every stream falls one tick behind; sustained
+        # breaches are an unsustainable configuration, not jitter. After
+        # ``alarm_after`` consecutive late ticks the alarm listeners fire
+        # (once per episode; re-arms after a on-budget tick).
+        self.alarm_after = int(alarm_after)
+        self.late_ticks = 0            # total ticks over budget
+        self.consecutive_late = 0
+        self.alarms = 0                # breach episodes alarmed
+        self.last_alarm = None         # most recent CadenceAlarm
+        self._alarm_listeners: List[Callable] = []
+        self._alarm_armed = True
         self._stop = threading.Event()
         self._thread = None
 
@@ -80,13 +107,43 @@ class MultiStreamServer:
         self._listeners.append(listener)
         return self
 
+    def add_alarm_listener(self, listener: Callable) -> "MultiStreamServer":
+        """listener(alarm: CadenceAlarm) when the step overruns the tick
+        budget ``alarm_after`` ticks in a row (once per breach episode)."""
+        self._alarm_listeners.append(listener)
+        return self
+
+    def _track_cadence(self, step_seconds: float) -> None:
+        if step_seconds <= self.tick_seconds:
+            self.consecutive_late = 0
+            self._alarm_armed = True
+            return
+        self.late_ticks += 1
+        self.consecutive_late += 1
+        if self.consecutive_late >= self.alarm_after and self._alarm_armed:
+            self._alarm_armed = False  # one alarm per breach episode
+            self.alarms += 1
+            self.last_alarm = CadenceAlarm(
+                tick=self.ticks, step_seconds=step_seconds,
+                tick_seconds=self.tick_seconds, consecutive=self.consecutive_late,
+            )
+            for listener in self._alarm_listeners:
+                try:
+                    listener(self.last_alarm)
+                except Exception:  # noqa: BLE001 — alarms must not kill serving
+                    import traceback
+
+                    traceback.print_exc()
+
     def tick(self) -> TickResult:
         """Gather one tick of audio from every stream and score it."""
+        step_start = time.perf_counter()
         batch, status = self.mux.gather(self.samples_per_tick, threads=self.gather_threads)
         any_fired = bool(self.engine.push(batch))
         last = np.asarray(self.engine.last_fired)
         fired = last.any(axis=1) if last.ndim == 2 else last  # blocked: any hop
         self.ticks += 1
+        self._track_cadence(time.perf_counter() - step_start)
         self.detections += fired
         self.underruns += status == 0
         self.overruns += status == -1

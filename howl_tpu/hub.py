@@ -46,6 +46,8 @@ def load_workspace_engine(
     incremental: bool = False,
     streaming_trunk: bool = False,
     hop_block: int = 1,
+    auto: bool = False,
+    strict_capacity: bool = False,
 ) -> Tuple[OnlineEngine, InferenceContext]:
     """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84).
 
@@ -58,9 +60,18 @@ def load_workspace_engine(
     ``schedule.lag``-hop (250 ms at defaults) decision delay. ``hop_block>1``
     (streaming_trunk only, a multiple of the engine's schedule period) scores
     that many hops per device step — same per-hop decisions, observed at the
-    block boundary; the bulk/capacity serving mode."""
+    block boundary; the bulk/capacity serving mode.
+
+    ``auto=True`` ignores the engine flags and picks the lowest-decision-
+    latency engine that sustains ``num_streams`` on one chip (the measured
+    step-time model in inference/capacity.py); it raises CapacityError when
+    nothing fits single-chip. Explicit configurations are ALWAYS capacity-
+    checked: an unsustainable one emits a CapacityWarning (or raises, with
+    ``strict_capacity=True``) instead of silently accumulating underruns."""
     # flag validation up front — model build + weight load below can take
     # seconds (minutes through the TPU relay); don't do it for a bad call
+    if auto and (incremental or streaming_trunk or hop_block != 1):
+        raise ValueError("auto=True selects the engine; don't also pass engine flags")
     if streaming_trunk and incremental:
         raise ValueError(
             "streaming_trunk and incremental select different engines — pass exactly one"
@@ -141,6 +152,31 @@ def load_workspace_engine(
         variables = workspace.load_model(variables, best=best)
 
     cfg = EngineConfig.from_settings(ctx)
+    if auto:
+        from howl_tpu.inference.capacity import recommend
+
+        # trunk streaming needs the fused-trunk model shape (res8 family,
+        # non-sequential); convert_static wrappers score per frame instead
+        trunk_ok = spec.supports_trunk and not spec.is_sequential and not spec.is_recurrent
+        kwargs = recommend(num_streams, supports_trunk=trunk_ok)
+        incremental = bool(kwargs.get("incremental", False))
+        streaming_trunk = bool(kwargs.get("streaming_trunk", False))
+        hop_block = int(kwargs.get("hop_block", 1))
+    # capacity guardrail: the serving loop never recovers from a step that
+    # exceeds the hop budget, so flag it at build time (BENCH_r03: 65,536
+    # incremental streams step at p99 104 ms against 62.5)
+    from howl_tpu.inference.capacity import CapacityWarning, check_capacity
+
+    kind = "streaming_trunk" if streaming_trunk else ("incremental" if incremental else "online")
+    report = check_capacity(kind, num_streams, hop_block)
+    if not report.ok:
+        if strict_capacity:
+            from howl_tpu.inference.capacity import CapacityError
+
+            raise CapacityError(report.message)
+        import warnings
+
+        warnings.warn(report.message, CapacityWarning, stacklevel=2)
     engine_cls = OnlineEngine
     if streaming_trunk:
         from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
