@@ -35,8 +35,11 @@ splits instead of Mosaic's 6-pass f32 emulation:
     serving engines' bf16 feature-cast floor; validate decisions per model).
   * ``precision=Precision.HIGHEST``: Mosaic native f32 (oracle-grade).
 
-The mel GEMM always runs the 3-pass split: ~1/16 of the DFT MACs, and its
-operands (power, triangle weights) are non-negative — no cancellation.
+The mel GEMM runs the 3-pass split in HIGH mode (~1/16 of the DFT MACs, and
+its operands — power, triangle weights — are non-negative: no cancellation).
+In ``bf16x2`` mode it is a single bf16 pass: the all-positive contraction
+keeps the relative error at ~2^-8, the same grade as the mode's bf16 output
+quantization, while dropping ~10% of the kernel's total MACs.
 
 GEMMs are essentially free here (measured: a (256,512)@(512,512) bf16 dot per
 block adds <0.2 ms over pure streaming), so the extra K-padding of the per-j
@@ -110,7 +113,8 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
 
     Operands after the two hop-view blocks: 6-pass mode gets
     (w_0..w_{n_sub-1}, fb) in f32; bf16 modes get the hi/lo pairs
-    (w_0_hi, w_0_lo, ..., fb_hi, fb_lo). Trailing refs: (zmuv, out).
+    (w_0_hi, w_0_lo, ...) then fb_hi (+ fb_lo in 3-pass mode only).
+    Trailing refs: (zmuv, out).
     """
     mat_refs, (zmuv_ref, out_ref) = refs[:-2], refs[-2:]
     m = row_block * fb_block
@@ -128,7 +132,7 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
             acc = term if acc is None else acc + term
         re_im = acc
     else:
-        w_pairs, fb_hi_ref, fb_lo_ref = mat_refs[:-2], mat_refs[-2], mat_refs[-1]
+        w_pairs, fb_refs = mat_refs[: 2 * n_sub], mat_refs[2 * n_sub :]
         h_hi = h.astype(jnp.bfloat16)
         if passes == 3:
             h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -148,10 +152,10 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
         mel = jnp.dot(power, fb_ref[:, :], precision=jax.lax.Precision.HIGHEST, **kw)
     else:
         p_hi = power.astype(jnp.bfloat16)
-        p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        mel = jnp.dot(p_hi, fb_hi_ref[:, :], **kw) + (
-            jnp.dot(p_lo, fb_hi_ref[:, :], **kw) + jnp.dot(p_hi, fb_lo_ref[:, :], **kw)
-        )
+        mel = jnp.dot(p_hi, fb_refs[0][:, :], **kw)
+        if passes == 3:
+            p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            mel += jnp.dot(p_lo, fb_refs[0][:, :], **kw) + jnp.dot(p_hi, fb_refs[1][:, :], **kw)
     mean = zmuv_ref[0]
     inv_std = zmuv_ref[1]
     # write contiguous (BB, FB, mels_pad) tiles: a transposed / mel-narrow
@@ -161,7 +165,10 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
     out_ref[...] = out.reshape(row_block, fb_block, out.shape[-1]).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("config", "interpret", "precision", "out_dtype"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "interpret", "precision", "out_dtype", "row_block", "fb_block"),
+)
 def log_mel_spectrogram_pallas(
     audio: jnp.ndarray,
     config: FrontendConfig = FrontendConfig(),
@@ -170,6 +177,8 @@ def log_mel_spectrogram_pallas(
     interpret: bool = False,
     precision=None,
     out_dtype=None,
+    row_block: int | None = None,
+    fb_block: int | None = None,
 ) -> jnp.ndarray:
     """(B, samples) -> ZMUV-normalized (B, n_mels, frames) log-mels.
 
@@ -187,7 +196,13 @@ def log_mel_spectrogram_pallas(
     hop, n_fft = config.hop_length, config.n_fft
     n_frames = config.num_frames(audio.shape[-1])
     passes = _passes_for(precision)
-    fb_block = FRAME_BLOCK
+    # block geometry: (row_block batch rows) x (fb_block frames) per grid
+    # cell. Defaults were swept on hardware (tools/sweep_frontend_blocks.py);
+    # explicit values are for experimentation and must keep fb_block a
+    # multiple of 128 (MXU sublane tiling of the flattened M dimension).
+    fb_block = fb_block or FRAME_BLOCK
+    if fb_block % FRAME_BLOCK:
+        raise ValueError(f"fb_block must be a multiple of {FRAME_BLOCK}, got {fb_block}")
     n_sub = -(-n_fft // hop)
     if n_sub > fb_block:
         # one lookahead block covers the frame overlap only while
@@ -238,12 +253,16 @@ def log_mel_spectrogram_pallas(
             parts = _split_bf16(wj)
             mats.extend(parts)
             mat_kinds.extend(["w"] * len(parts))
-        parts = _split_bf16(fb_pad)
+        # 2-pass mode reads only fb_hi (single-pass mel; see module docstring)
+        parts = _split_bf16(fb_pad)[: 1 if passes == 2 else 2]
         mats.extend(parts)
         mat_kinds.extend(["fb"] * len(parts))
     zmuv = jnp.stack([jnp.float32(zmuv_mean), 1.0 / jnp.float32(zmuv_std)])
 
-    row_block = next(bb for bb in (4, 2, 1) if b % bb == 0)
+    if row_block is None:
+        row_block = next(bb for bb in (4, 2, 1) if b % bb == 0)
+    elif b % row_block:
+        raise ValueError(f"row_block {row_block} does not divide batch {b}")
     grid = (b // row_block, t_pad // fb_block)
     w_spec = pl.BlockSpec((hop, 2 * n_bins), lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
     fb_spec = pl.BlockSpec(fb_pad.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
