@@ -217,10 +217,10 @@ def main():
     # bf16 serving config: detections AND per-step labels verified identical
     # to f32 on this workload; posterior/decision logic stays f32
     compute_dtype = jnp.bfloat16 if on_tpu else None
-    # polyphase Pallas frontend at bf16x2 with bf16 output tiles: decision-
-    # equivalence vs the f32/HIGHEST engine validated for res8 on this chip
-    # (tools/validate_tpu_decisions.py: detections, first-fire steps, and
-    # per-step labels all equal)
+    # polyphase Pallas frontend at 1-pass bf16 with bf16 output tiles:
+    # decision-equivalence vs the f32/HIGHEST engine validated for res8 on
+    # this chip (tools/validate_tpu_decisions.py: detections, first-fire
+    # steps, and per-step labels all equal for bf16, bf16x2, and 3-pass)
     engine = StreamingEngine(
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
         compute_dtype=compute_dtype, use_pallas_frontend=on_tpu,

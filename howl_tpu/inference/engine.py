@@ -61,7 +61,7 @@ class StreamingEngine:
         compute_dtype=None,
         fused_trunk: Optional[bool] = None,
         use_pallas_frontend: bool = False,
-        pallas_precision="bf16x2",
+        pallas_precision="bf16",
     ):
         """``compute_dtype=jnp.bfloat16`` casts features and model parameters
         for scoring — roughly doubles MXU conv throughput on TPU; posteriors
@@ -89,11 +89,12 @@ class StreamingEngine:
         self.zmuv_mean = float(zmuv_mean)
         self.zmuv_std = float(zmuv_std)
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
-        # the fused polyphase Pallas kernel is opt-in: at its fast 2-pass
-        # bf16 mode it measures ~8.7 ms vs the XLA chain's ~9.9 per 512x8 s
-        # batch on v5e (tools/bench_frontend_variants.py), with ~2.8e-2
-        # log-mel drift — validate decision equivalence per model before
-        # enabling in production (tools/validate_tpu_decisions.py)
+        # the fused polyphase Pallas kernel is opt-in: at its fast 1-pass
+        # bf16 mode it measures ~4.7 ms/iter slope-timed vs ~6.3 for 2-pass
+        # per 512x8 s batch on v5e (tools/bench_frontend_tail_1pass.py), with
+        # ~7.5e-2 log-mel drift — validate decision equivalence per model
+        # before enabling in production (tools/validate_tpu_decisions.py:
+        # bf16/bf16x2/None all decision-equal for res8 on hardware)
         self._use_pallas = (
             use_pallas_frontend and not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
         )

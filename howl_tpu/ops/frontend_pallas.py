@@ -15,7 +15,8 @@ hop-rows t..t+n_sub-1 of the hop-blocked audio view H = audio.reshape(-1, hop)
     frames @ W  ==  sum_j  H[t+j] @ W_j,      W_j = W[j*hop : j*hop + w_j]
 
 and the kernel computes the right-hand side directly: each grid cell loads a
-block of hop-rows (plus one lookahead block for the overlap), rebuilds nothing,
+block of hop-rows (plus a narrow n_sub-1-row lookahead tail for the overlap —
+a full-block lookahead would read every audio byte twice), rebuilds nothing,
 and accumulates the per-j GEMMs in VMEM. HBM traffic drops to ~the audio size.
 The rest of the pipeline — power spectrum, mel filterbank GEMM, log, ZMUV —
 stays fused in VMEM; the output is written as contiguous (frames, mels) tiles
@@ -33,6 +34,11 @@ splits instead of Mosaic's 6-pass f32 emulation:
     dropping only the lo*lo term (~2^-17 relative) — the Precision.HIGH grade.
   * ``precision="bf16x2"``: 2-pass with bf16 audio rows (~2^-9, below the
     serving engines' bf16 feature-cast floor; validate decisions per model).
+  * ``precision="bf16"``: 1-pass — both operands bf16, the x_hi@W_lo
+    correction dropped too. The W quantization error (~2^-9 relative, same
+    scale as the already-dropped audio lo term) rides through power+mel+log
+    at the same grade as ``bf16x2``; it halves the kernel's MXU passes,
+    which dominate the step at serving shapes. Validate decisions per model.
   * ``precision=Precision.HIGHEST``: Mosaic native f32 (oracle-grade).
 
 The mel GEMM runs the 3-pass split in HIGH mode (~1/16 of the DFT MACs, and
@@ -41,9 +47,12 @@ In ``bf16x2`` mode it is a single bf16 pass: the all-positive contraction
 keeps the relative error at ~2^-8, the same grade as the mode's bf16 output
 quantization, while dropping ~10% of the kernel's total MACs.
 
-GEMMs are essentially free here (measured: a (256,512)@(512,512) bf16 dot per
-block adds <0.2 ms over pure streaming), so the extra K-padding of the per-j
-blocks (200 -> 256 lanes) costs nothing; the win is all memory traffic.
+At serving shapes the DFT GEMM passes DOMINATE the step (~3.1 ms of pure MXU
+time for 2 passes at batch 512 x 8 s — dropping one pass saves ~25% measured,
+tools/bench_frontend_tail_1pass.py), which is why the pass count is the main
+speed/precision dial; the input traffic matters second (the narrow-tail
+lookahead saved ~8%), and the per-j K-padding (200 -> 256) rides along free
+inside the pass.
 
 The pure-jnp implementation in frontend.py is the correctness oracle; see
 tests/test_frontend_pallas.py.
@@ -90,6 +99,8 @@ def _passes_for(precision) -> int:
         return 3
     if precision == "bf16x2":
         return 2
+    if precision == "bf16":
+        return 1
     if isinstance(precision, jax.lax.Precision):
         # HIGH = 3-pass bf16x2 (drops only the lo*lo term, ~2^-17 relative);
         # HIGHEST = Mosaic native f32 (6-pass oracle grade)
@@ -99,7 +110,7 @@ def _passes_for(precision) -> int:
             return 6
     raise ValueError(
         f"unsupported Pallas frontend precision {precision!r}: expected None, "
-        "'bf16x2', Precision.HIGH, or Precision.HIGHEST"
+        "'bf16', 'bf16x2', Precision.HIGH, or Precision.HIGHEST"
     )
 
 
@@ -112,13 +123,16 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
     half-empty (measured: ~1.45 ms/pass-set at M=128 vs ~0.7 at M=512).
 
     Operands after the two hop-view blocks: 6-pass mode gets
-    (w_0..w_{n_sub-1}, fb) in f32; bf16 modes get the hi/lo pairs
-    (w_0_hi, w_0_lo, ...) then fb_hi (+ fb_lo in 3-pass mode only).
-    Trailing refs: (zmuv, out).
+    (w_0..w_{n_sub-1}, fb) in f32; bf16 modes get per-j hi (1-pass) or
+    hi/lo pairs (2/3-pass) then fb_hi (+ fb_lo in 3-pass mode only).
+    Trailing refs: (zmuv, out). ``h1`` is the lookahead block — only
+    ``tail_rows`` hop-rows past the cell (enough for the j offsets), NOT a
+    second full block: the full-block form re-reads every audio byte from
+    HBM twice (~48% of the kernel's input traffic — measured).
     """
     mat_refs, (zmuv_ref, out_ref) = refs[:-2], refs[-2:]
     m = row_block * fb_block
-    h = jnp.concatenate([h0_ref[...], h1_ref[...]], axis=1)  # (BB, 2*FB, hop)
+    h = jnp.concatenate([h0_ref[...], h1_ref[...]], axis=1)  # (BB, FB+tail, hop)
     kw = dict(preferred_element_type=jnp.float32)
 
     def xslice(arr, j):
@@ -132,17 +146,19 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
             acc = term if acc is None else acc + term
         re_im = acc
     else:
-        w_pairs, fb_refs = mat_refs[: 2 * n_sub], mat_refs[2 * n_sub :]
+        per_w = 1 if passes == 1 else 2
+        w_mats, fb_refs = mat_refs[: per_w * n_sub], mat_refs[per_w * n_sub :]
         h_hi = h.astype(jnp.bfloat16)
         if passes == 3:
             h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = None
         for j in range(n_sub):
             xj_hi = xslice(h_hi, j)
-            w_hi, w_lo = w_pairs[2 * j], w_pairs[2 * j + 1]
-            term = jnp.dot(xj_hi, w_hi[:, :], **kw) + jnp.dot(xj_hi, w_lo[:, :], **kw)
+            term = jnp.dot(xj_hi, w_mats[per_w * j][:, :], **kw)
+            if passes >= 2:
+                term += jnp.dot(xj_hi, w_mats[per_w * j + 1][:, :], **kw)
             if passes == 3:
-                term += jnp.dot(xslice(h_lo, j), w_hi[:, :], **kw)
+                term += jnp.dot(xslice(h_lo, j), w_mats[per_w * j][:, :], **kw)
             acc = term if acc is None else acc + term
         re_im = acc
     re = re_im[:, :n_bins]
@@ -213,12 +229,25 @@ def log_mel_spectrogram_pallas(
         mels = log_mel_spectrogram(audio, config)
         return ((mels - zmuv_mean) / zmuv_std).astype(out_dtype or jnp.float32)
 
+    # lookahead granularity: frame t of cell i needs hop-rows up to
+    # i*fb_block + t + n_sub - 1, i.e. n_sub-1 rows past the cell's own
+    # block. Fetch them as a NARROW second block of tail_rows (the smallest
+    # power of two >= n_sub-1, floored at 8 — Mosaic requires sublane block
+    # dims divisible by 8 — that divides fb_block) instead of the full next
+    # block: a full-block lookahead reads every audio byte from HBM twice.
+    # Element offset of tail block k is k*tail_rows, so cell i maps to
+    # block (i+1)*fb_block//tail_rows — exact while tail_rows | fb_block.
+    tail_rows = 8
+    while tail_rows < n_sub - 1:
+        tail_rows *= 2
+    if fb_block % tail_rows:
+        tail_rows = fb_block  # degenerate overlap: full-block lookahead
     # center reflect-pad on the true signal, then zero-extend so the hop-view
-    # has t_pad + fb_block rows (the lookahead block of the last cell)
+    # has t_pad + tail_rows rows (the lookahead block of the last cell)
     if config.center:
         audio = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     t_pad = _round_up(n_frames, fb_block)
-    rows = t_pad + fb_block
+    rows = t_pad + tail_rows
     extra = rows * hop - audio.shape[-1]
     if extra > 0:
         audio = jnp.pad(audio, ((0, 0), (0, extra)))
@@ -250,17 +279,21 @@ def log_mel_spectrogram_pallas(
     else:
         mats, mat_kinds = [], []
         for wj in w_blocks:
-            parts = _split_bf16(wj)
+            # 1-pass mode drops the W_lo correction matrices entirely
+            parts = _split_bf16(wj)[: 1 if passes == 1 else 2]
             mats.extend(parts)
             mat_kinds.extend(["w"] * len(parts))
-        # 2-pass mode reads only fb_hi (single-pass mel; see module docstring)
-        parts = _split_bf16(fb_pad)[: 1 if passes == 2 else 2]
+        # 1/2-pass modes read only fb_hi (single-pass mel; see module docstring)
+        parts = _split_bf16(fb_pad)[: 1 if passes <= 2 else 2]
         mats.extend(parts)
         mat_kinds.extend(["fb"] * len(parts))
     zmuv = jnp.stack([jnp.float32(zmuv_mean), 1.0 / jnp.float32(zmuv_std)])
 
     if row_block is None:
-        row_block = next(bb for bb in (4, 2, 1) if b % bb == 0)
+        # (8, 128) measured best on v5e with the narrow-tail lookahead
+        # (tools/bench_frontend_tail_1pass.py: 4.75 vs 4.87 ms at (4, 128));
+        # smaller batches fall back to what divides
+        row_block = next(bb for bb in (8, 4, 2, 1) if b % bb == 0)
     elif b % row_block:
         raise ValueError(f"row_block {row_block} does not divide batch {b}")
     grid = (b // row_block, t_pad // fb_block)
@@ -280,7 +313,11 @@ def log_mel_spectrogram_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((row_block, fb_block, hop), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_block, fb_block, hop), lambda bi, i: (bi, i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (row_block, tail_rows, hop),
+                lambda bi, i, _r=fb_block // tail_rows: (bi, (i + 1) * _r, 0),
+                memory_space=pltpu.VMEM,
+            ),
             *[w_spec if kind == "w" else fb_spec for kind in mat_kinds],
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

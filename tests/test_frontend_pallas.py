@@ -32,6 +32,12 @@ def test_pallas_matches_jnp_oracle(n_mels, samples, rng):
     # feature-cast noise (decision equivalence validated separately on TPU)
     x2 = np.asarray(log_mel_spectrogram_pallas(audio, cfg, mean, std, interpret=True, precision="bf16x2"))
     np.testing.assert_allclose(x2, norm, atol=0.5 / max(std, 1e-6))
+    # ...and the 1-pass mode (W quantized to bf16 too — half the MXU passes)
+    # holds the same error grade: the dropped x_hi@W_lo term is ~2^-9
+    # relative, the scale bf16x2 already accepts from the audio lo term
+    x1 = np.asarray(log_mel_spectrogram_pallas(audio, cfg, mean, std, interpret=True, precision="bf16"))
+    np.testing.assert_allclose(x1, norm, atol=0.5 / max(std, 1e-6))
+    assert float(np.abs(x1 - x2).max()) < 0.25 / max(std, 1e-6)
 
 
 def test_pallas_single_clip(rng):

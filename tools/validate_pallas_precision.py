@@ -2,10 +2,10 @@
 
 Interpret mode (CPU) computes in exact f32, so the precision knob of
 howl_tpu/ops/frontend_pallas.py can only be judged on hardware: this compares
-the 6-pass f32 mode, the default 3-pass hi/lo bf16 mode, and the 2-pass
-bf16-frames mode against the committed torchaudio-exact goldens and prints the
-same error statistics the golden tests gate on (above-floor max error, global
-max).
+the 6-pass f32 mode, the 3-pass hi/lo bf16 mode, the 2-pass bf16-frames mode,
+and the 1-pass all-bf16 serving default against the committed torchaudio-exact
+goldens and prints the same error statistics the golden tests gate on
+(above-floor max error, global max).
 
 Run (on the axon TPU): python tools/validate_pallas_precision.py
 """
@@ -35,6 +35,7 @@ def main():
             (jax.lax.Precision.HIGHEST, "f32x6"),
             (None, "bf16x3"),
             ("bf16x2", "bf16x2"),
+            ("bf16", "bf16x1"),
         ):
             out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, 0.0, 1.0, precision=prec))
             err = np.abs(out - gold)

@@ -77,7 +77,7 @@ def main():
         compare(name, a, fast.infer_batch(audio))
         if name == "res8":
             # the polyphase Pallas frontend's fast modes against the same oracle
-            for prec in ("bf16x2", None):
+            for prec in ("bf16", "bf16x2", None):
                 pall = StreamingEngine(
                     model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16,
                     use_pallas_frontend=True, pallas_precision=prec,
