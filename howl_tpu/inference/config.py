@@ -99,6 +99,23 @@ def ring_steps(cfg: "EngineConfig", stride_ms: float) -> tuple:
     return s_steps, w_steps
 
 
+def serving_dft_precision(compute_dtype, override="auto"):
+    """Resolve the DFT precision an engine passes to log_mel_spectrogram.
+
+    ``override="auto"`` (every engine's default): exact HIGHEST for f32
+    serving; Precision.HIGH (3-pass bf16 emulation, 2.2e-4 log-mel error)
+    once bf16 scoring was requested — the smoothing tolerance already absorbs
+    that grade of drift. Pass ``"bf16"`` for the 1-pass mode
+    (ops/frontend.py — decision equivalence validated on hardware per model,
+    tools/validate_tpu_decisions.py) or any ``jax.lax.Precision`` to pin one.
+    """
+    if override != "auto":
+        return override
+    import jax
+
+    return None if compute_dtype is None else jax.lax.Precision.HIGH
+
+
 def cast_compute_dtype(variables, compute_dtype):
     """Cast every f32 leaf of a variables tree to the serving compute dtype
     (shared by all engines; non-f32 leaves — ints, batch-stat counters — are

@@ -62,6 +62,7 @@ class StreamingEngine:
         fused_trunk: Optional[bool] = None,
         use_pallas_frontend: bool = False,
         pallas_precision="bf16",
+        dft_precision="auto",
     ):
         """``compute_dtype=jnp.bfloat16`` casts features and model parameters
         for scoring — roughly doubles MXU conv throughput on TPU; posteriors
@@ -99,10 +100,9 @@ class StreamingEngine:
             use_pallas_frontend and not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
         )
         self._pallas_precision = pallas_precision
-        # serving DFT precision: HIGH once bf16 scoring was requested (the
-        # smoothing tolerance already absorbs that grade of drift), exact
-        # HIGHEST otherwise
-        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
+        from howl_tpu.inference.config import serving_dft_precision
+
+        self._dft_precision = serving_dft_precision(compute_dtype, dft_precision)
         # window/stride in whole frames (deviation 2 above); single home for
         # the formulas all four engines share
         from howl_tpu.inference.config import hop_geometry

@@ -98,6 +98,7 @@ class OnlineEngine:
         num_streams: int = 1,
         compute_dtype=None,
         use_pallas_frontend: bool = False,
+        dft_precision="auto",
     ):
         self.model = model
         self.variables = cast_compute_dtype(variables, compute_dtype)
@@ -112,7 +113,9 @@ class OnlineEngine:
         self._use_pallas = (
             use_pallas_frontend and not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
         )
-        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
+        from howl_tpu.inference.config import serving_dft_precision
+
+        self._dft_precision = serving_dft_precision(compute_dtype, dft_precision)
         self.num_streams = num_streams
         self.window_samples = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate)
         # hop-quantized step like every other engine (the raw cfg stride
@@ -226,6 +229,7 @@ class IncrementalOnlineEngine:
         spec: Optional[ModelSpec] = None,
         num_streams: int = 1,
         compute_dtype=None,
+        dft_precision="auto",
     ):
         import dataclasses
 
@@ -242,7 +246,9 @@ class IncrementalOnlineEngine:
                 "IncrementalOnlineEngine keeps a plain log-mel ring and cannot serve "
                 "delta-channel models (las); use OnlineEngine for those"
             )
-        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
+        from howl_tpu.inference.config import serving_dft_precision
+
+        self._dft_precision = serving_dft_precision(compute_dtype, dft_precision)
         self.num_streams = num_streams
 
         hop, n_fft = frontend.hop_length, frontend.n_fft

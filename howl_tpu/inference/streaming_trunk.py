@@ -305,6 +305,7 @@ class FusedStreamingOnlineEngine:
         compute_dtype=None,
         prefill_block: int = 8192,
         hop_block: int = 1,
+        dft_precision="auto",
     ):
         import dataclasses
 
@@ -324,7 +325,9 @@ class FusedStreamingOnlineEngine:
                 "FusedStreamingOnlineEngine requires a trunk-capable non-sequential "
                 f"model (res8); got spec={self.spec}"
             )
-        self._dft_precision = None if compute_dtype is None else jax.lax.Precision.HIGH
+        from howl_tpu.inference.config import serving_dft_precision
+
+        self._dft_precision = serving_dft_precision(compute_dtype, dft_precision)
         self.num_streams = num_streams
         self.prefill_block = max(int(prefill_block), 1)
 

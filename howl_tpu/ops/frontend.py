@@ -227,8 +227,11 @@ def log_mel_spectrogram(
     ``precision`` sets the DFT GEMM matmul precision (default HIGHEST — exact
     oracle). Serving engines pass ``jax.lax.Precision.HIGH``: measured on v5e
     it is ~1.2x faster end-to-end with 2.2e-4 above-floor log-mel error vs
-    HIGHEST (same grade as HIGHEST's own error vs the torchaudio goldens);
-    DEFAULT (1-pass bf16) loses the DFT cancellation and is not offered.
+    HIGHEST (same grade as HIGHEST's own error vs the torchaudio goldens).
+    ``"bf16"`` is the 1-pass mode (DFT + mel GEMMs with bf16 operands, f32
+    accumulation — ~7.5e-2 log-mel max error, the grade the engines' bf16
+    feature cast already accepts); validate decision equivalence per model
+    before serving with it (tools/validate_tpu_decisions.py).
     """
     fb = jnp.asarray(mel_filterbank(config.n_freqs, config.n_mels, config.sample_rate, config.f_min, config.f_max))
     out = _mel_core(audio, fb, config, precision=precision)
@@ -260,9 +263,27 @@ def _mel_core(audio: jnp.ndarray, fb: jnp.ndarray, config: FrontendConfig, preci
     n_bins = nyquist_crop_bins(config)
     w = jnp.asarray(windowed_dft_matrix(config.n_fft, n_bins))
     cw, sw = w[:, :n_bins], w[:, n_bins:]
+    if precision == "bf16":
+        # 1-pass bf16 mode, the jnp twin of frontend_pallas.py's
+        # precision="bf16": both GEMM operands quantized to bf16 (explicit
+        # casts so CPU tests see the same numerics), f32 accumulation. The
+        # ~2^-9 relative DFT error (~7.5e-2 log-mel max) sits below the
+        # serving engines' bf16 feature-cast noise — decision equivalence is
+        # validated on hardware per model (tools/validate_tpu_decisions.py).
+        # The mel GEMM is 1-pass bf16 too: the all-positive contraction has
+        # no cancellation, keeping its relative error at the same grade.
+        kw = dict(preferred_element_type=jnp.float32)
+        f16 = frames.astype(jnp.bfloat16)
+        re = jnp.matmul(f16, cw.astype(jnp.bfloat16), **kw)
+        im = jnp.matmul(f16, sw.astype(jnp.bfloat16), **kw)
+        power = re * re + im * im
+        mel = jnp.matmul(power.astype(jnp.bfloat16), fb[:n_bins].astype(jnp.bfloat16), **kw)
+        return jnp.log(mel + config.log_offset).swapaxes(-1, -2)
     # HIGHEST precision default: the log compresses dynamic range, so 1-pass
     # bf16 MXU GEMMs (the TPU f32-matmul default) would leak visible error into
-    # the features. Serving passes HIGH (3-pass) — see log_mel_spectrogram.
+    # the features unless the engine's decision logic is known to absorb it
+    # (that is what the "bf16" mode above is for). Serving engines default to
+    # HIGH (3-pass) — see log_mel_spectrogram.
     prec = jax.lax.Precision.HIGHEST if precision is None else precision
     re = jnp.matmul(frames, cw, precision=prec)  # (B, T, n_bins) — MXU GEMM
     im = jnp.matmul(frames, sw, precision=prec)

@@ -179,3 +179,36 @@ def test_nyquist_crop_matches_full_width(config, rng):
         np.testing.assert_allclose(
             np.asarray(log_mel_spectrogram_vtlp(audio, alpha, config)), full_width(fb_w), atol=1e-4
         )
+
+
+def test_log_mel_bf16_one_pass_mode(config, rng):
+    """The jnp "bf16" 1-pass mode (twin of the Pallas serving default) stays
+    within the engines' bf16 feature-cast grade, and matches the Pallas
+    1-pass kernel's numerics class: explicit bf16 operand casts so this holds
+    on CPU too (decision equivalence is validated separately on hardware,
+    tools/validate_tpu_decisions.py)."""
+    from howl_tpu.ops.frontend import log_mel_spectrogram
+
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    exact = np.asarray(log_mel_spectrogram(audio, config))
+    fast = np.asarray(log_mel_spectrogram(audio, config, precision="bf16"))
+    assert fast.shape == exact.shape
+    # same tolerance grade the Pallas bf16 modes are gated on (0.5 log-mel
+    # units at unit ZMUV std; typical max ~7.5e-2)
+    np.testing.assert_allclose(fast, exact, atol=0.5)
+    # it must actually quantize (distinguishes from silently running exact)
+    assert float(np.abs(fast - exact).max()) > 1e-4
+
+
+def test_engines_accept_dft_precision_override():
+    """Every serving engine exposes dft_precision and resolves "auto" to the
+    documented default (HIGHEST for f32 serving, HIGH for bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from howl_tpu.inference.config import serving_dft_precision
+
+    assert serving_dft_precision(None) is None
+    assert serving_dft_precision(jnp.bfloat16) == jax.lax.Precision.HIGH
+    assert serving_dft_precision(jnp.bfloat16, "bf16") == "bf16"
+    assert serving_dft_precision(None, jax.lax.Precision.HIGH) == jax.lax.Precision.HIGH

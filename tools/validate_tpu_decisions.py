@@ -75,6 +75,14 @@ def main():
         fast = StreamingEngine(model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16)
         a = exact.infer_batch(audio)
         compare(name, a, fast.infer_batch(audio))
+        if not spec.uses_deltas:
+            # jnp 1-pass bf16 DFT (the XLA-chain twin of the Pallas "bf16"
+            # mode — what the online engines would serve with)
+            jb = StreamingEngine(
+                model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16,
+                dft_precision="bf16",
+            )
+            compare(f"{name}+jnp[bf16]", a, jb.infer_batch(audio))
         if name == "res8":
             # the polyphase Pallas frontend's fast modes against the same oracle
             for prec in ("bf16", "bf16x2", None):
@@ -83,6 +91,39 @@ def main():
                     use_pallas_frontend=True, pallas_precision=prec,
                 )
                 compare(f"res8+pallas[{prec or 'bf16x3'}]", a, pall.infer_batch(audio))
+            # the hop-incremental online engines at their serving precisions:
+            # decisions vs the same engine class at HIGH (their current auto)
+            from howl_tpu.inference.online import IncrementalOnlineEngine
+            from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
+
+            def run_online(cls, **kw):
+                eng = cls(
+                    model, variables, cfg, frontend, spec=spec, num_streams=16,
+                    compute_dtype=jnp.bfloat16, **kw,
+                )
+                hop = eng.hop_samples
+                fired, labels = [], []
+                for t in range(0, (audio.shape[1] // hop) * hop, hop):
+                    eng.push(audio[:, t : t + hop])
+                    fired.append(np.asarray(eng.last_fired))
+                    labels.append(np.asarray(eng.last_labels))
+                return np.stack(fired), np.stack(labels)
+
+            for cls, tag in (
+                (IncrementalOnlineEngine, "online"),
+                (FusedStreamingOnlineEngine, "trunk"),
+            ):
+                f_hi, l_hi = run_online(cls)
+                f_b1, l_b1 = run_online(cls, dft_precision="bf16")
+                det_eq = bool((f_hi == f_b1).all())
+                lab_frac = float((l_hi == l_b1).mean())
+                ok = det_eq and lab_frac >= 0.99
+                all_ok &= ok
+                print(
+                    f"res8+{tag}[jnp bf16]   : fired_eq={det_eq} "
+                    f"label_agreement={lab_frac:.4f} -> {'OK' if ok else 'MISMATCH'}",
+                    flush=True,
+                )
     print("ALL OK" if all_ok else "MISMATCHES FOUND")
     return 0 if all_ok else 1
 
