@@ -103,17 +103,19 @@ def serving_dft_precision(compute_dtype, override="auto"):
     """Resolve the DFT precision an engine passes to log_mel_spectrogram.
 
     ``override="auto"`` (every engine's default): exact HIGHEST for f32
-    serving; Precision.HIGH (3-pass bf16 emulation, 2.2e-4 log-mel error)
-    once bf16 scoring was requested — the smoothing tolerance already absorbs
-    that grade of drift. Pass ``"bf16"`` for the 1-pass mode
-    (ops/frontend.py — decision equivalence validated on hardware per model,
-    tools/validate_tpu_decisions.py) or any ``jax.lax.Precision`` to pin one.
+    serving; the 1-pass ``"bf16"`` mode (ops/frontend.py) once bf16 scoring
+    was requested — its ~2^-9 DFT error is the grade the bf16 feature cast
+    already injects, and decision equivalence is validated on hardware for
+    every family AND the per-hop online engines
+    (tools/validate_tpu_decisions.py: ALL OK). Measured p50 step gains over
+    Precision.HIGH (tools/bench_online_dft_precision.py, v5e): incremental
+    64.3->59.0 ms at 65k streams (from over- to under-budget), trunk
+    29.7->23.9 ms. Pass ``jax.lax.Precision.HIGH`` (3-pass emulation,
+    2.2e-4 log-mel error) or any other ``jax.lax.Precision`` to pin one.
     """
     if override != "auto":
         return override
-    import jax
-
-    return None if compute_dtype is None else jax.lax.Precision.HIGH
+    return None if compute_dtype is None else "bf16"
 
 
 def cast_compute_dtype(variables, compute_dtype):

@@ -202,13 +202,14 @@ def test_log_mel_bf16_one_pass_mode(config, rng):
 
 def test_engines_accept_dft_precision_override():
     """Every serving engine exposes dft_precision and resolves "auto" to the
-    documented default (HIGHEST for f32 serving, HIGH for bf16)."""
+    documented default (HIGHEST for f32 serving, the hardware-validated
+    1-pass "bf16" mode for bf16 serving)."""
     import jax
     import jax.numpy as jnp
 
     from howl_tpu.inference.config import serving_dft_precision
 
     assert serving_dft_precision(None) is None
-    assert serving_dft_precision(jnp.bfloat16) == jax.lax.Precision.HIGH
-    assert serving_dft_precision(jnp.bfloat16, "bf16") == "bf16"
+    assert serving_dft_precision(jnp.bfloat16) == "bf16"
+    assert serving_dft_precision(jnp.bfloat16, jax.lax.Precision.HIGH) == jax.lax.Precision.HIGH
     assert serving_dft_precision(None, jax.lax.Precision.HIGH) == jax.lax.Precision.HIGH
