@@ -77,28 +77,26 @@ PROFILES: Dict[Tuple[str, int], EngineProfile] = {
         kind="online", label="OnlineEngine (full-window re-score)",
         # no direct latency series was captured; anchor on the measured
         # cadence capacity (44,209 streams fill the 62.5 ms budget)
-        points=((0, 0.0), (52191, HOP_MS)),
-        ceiling=52191,
+        points=((0, 0.0), (75210, HOP_MS)),
+        ceiling=75210,
     ),
     ("incremental", 1): EngineProfile(
         kind="incremental", label="IncrementalOnlineEngine",
-        # 1-pass bf16 DFT points (tools/bench_online_dft_precision.py, the
-        # serving default since the round-4 flip)
-        points=((16384, 14.08), (65536, 58.98)),
-        ceiling=90216,
+        # 1-pass bf16 DFT points (bench.py post-flip run, the serving
+        # default since the round-4 flip)
+        points=((1024, 1.04), (16384, 14.185), (65536, 59.018)),
+        ceiling=100410,
     ),
     ("streaming_trunk", 1): EngineProfile(
         kind="streaming_trunk", label="FusedStreamingOnlineEngine",
-        points=((16384, 5.02), (65536, 23.85)),
-        ceiling=140610,
+        points=((16384, 5.999), (65536, 24.765)),
+        ceiling=170703,
         extra_latency_hops=4,  # trunk lookahead (schedule.lag)
     ),
     ("streaming_trunk", 3): EngineProfile(
         kind="streaming_trunk", label="FusedStreamingOnlineEngine hop_block=3",
-        # measured at Precision.HIGH (BENCH r4); conservative by ~20% for the
-        # bf16x1 default — re-measure with gen_capacity_table.py --calibrate
-        points=((16384, 6.195), (65536, 24.326)),
-        ceiling=168376,
+        points=((16384, 5.301), (65536, 20.377)),
+        ceiling=201012,
         hops_per_step=3,
         extra_latency_hops=4 + 2,  # lookahead + up to hop_block-1 observation delay
     ),

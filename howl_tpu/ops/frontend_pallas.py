@@ -18,10 +18,12 @@ and the kernel computes the right-hand side directly: each grid cell loads a
 block of hop-rows (plus a narrow n_sub-1-row lookahead tail for the overlap —
 a full-block lookahead would read every audio byte twice), rebuilds nothing,
 and accumulates the per-j GEMMs in VMEM. HBM traffic drops to ~the audio size.
-The rest of the pipeline — power spectrum, mel filterbank GEMM, log, ZMUV —
-stays fused in VMEM; the output is written as contiguous (frames, mels) tiles
-(a transposed, mel-narrow write costs ~6 ms/iter in strided DMAs — measured)
-and XLA does the cheap final transpose+crop to the (B, n_mels, T) layout.
+The power spectrum and mel filterbank GEMM stay fused in VMEM; the output is
+written as contiguous PRE-log (frames, mels) tiles (a transposed, mel-narrow
+write costs ~6 ms/iter in strided DMAs — measured) and the log + ZMUV fuse
+into the XLA transpose+crop pass to (B, n_mels, T) that runs anyway — the
+VPU transcendental then touches the 40 real mels, not all 128 padded kernel
+lanes, and bf16 tiles quantize better pre-log (see _kernel).
 
 W is the combined [cos|sin] windowed-DFT matrix (Hann folded in, Nyquist bin
 cropped — its mel weight is identically zero, see frontend.nyquist_crop_bins):
@@ -114,7 +116,7 @@ def _passes_for(precision) -> int:
     )
 
 
-def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, log_offset):
+def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block):
     """Polyphase fused frontend kernel.
 
     Each grid cell covers ``row_block`` batch rows x ``fb_block`` frames; the
@@ -125,12 +127,12 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
     Operands after the two hop-view blocks: 6-pass mode gets
     (w_0..w_{n_sub-1}, fb) in f32; bf16 modes get per-j hi (1-pass) or
     hi/lo pairs (2/3-pass) then fb_hi (+ fb_lo in 3-pass mode only).
-    Trailing refs: (zmuv, out). ``h1`` is the lookahead block — only
+    Trailing ref: out. ``h1`` is the lookahead block — only
     ``tail_rows`` hop-rows past the cell (enough for the j offsets), NOT a
     second full block: the full-block form re-reads every audio byte from
     HBM twice (~48% of the kernel's input traffic — measured).
     """
-    mat_refs, (zmuv_ref, out_ref) = refs[:-2], refs[-2:]
+    mat_refs, out_ref = refs[:-1], refs[-1]
     m = row_block * fb_block
     h = jnp.concatenate([h0_ref[...], h1_ref[...]], axis=1)  # (BB, FB+tail, hop)
     kw = dict(preferred_element_type=jnp.float32)
@@ -172,13 +174,15 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block, l
         if passes == 3:
             p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             mel += jnp.dot(p_lo, fb_refs[0][:, :], **kw) + jnp.dot(p_hi, fb_refs[1][:, :], **kw)
-    mean = zmuv_ref[0]
-    inv_std = zmuv_ref[1]
-    # write contiguous (BB, FB, mels_pad) tiles: a transposed / mel-narrow
-    # block write costs ~6 ms/iter in strided DMAs (measured); the final
-    # transpose+crop to (B, n_mels, T) is a cheap XLA pass over 1/13 the bytes
-    out = (jnp.log(mel + log_offset) - mean) * inv_std
-    out_ref[...] = out.reshape(row_block, fb_block, out.shape[-1]).astype(out_ref.dtype)
+    # write contiguous PRE-log (BB, FB, mels_pad) tiles: a transposed /
+    # mel-narrow block write costs ~6 ms/iter in strided DMAs (measured).
+    # log + ZMUV ride the XLA transpose+crop epilogue that already passes
+    # over these bytes — in-kernel they ran the slow VPU transcendental on
+    # all 128 padded lanes per tile when only n_mels=40 are real (3.2x
+    # wasted log work), and bf16 tiles quantize BETTER pre-log: a 2^-9
+    # relative mel error is ~2e-3 absolute after the log, vs ~2^-9*|log|
+    # when the tile holds the log itself.
+    out_ref[...] = mel.reshape(row_block, fb_block, mel.shape[-1]).astype(out_ref.dtype)
 
 
 @partial(
@@ -287,7 +291,6 @@ def log_mel_spectrogram_pallas(
         parts = _split_bf16(fb_pad)[: 1 if passes <= 2 else 2]
         mats.extend(parts)
         mat_kinds.extend(["fb"] * len(parts))
-    zmuv = jnp.stack([jnp.float32(zmuv_mean), 1.0 / jnp.float32(zmuv_std)])
 
     if row_block is None:
         # (8, 128) measured best on v5e with the narrow-tail lookahead
@@ -308,7 +311,6 @@ def log_mel_spectrogram_pallas(
             n_bins=n_bins,
             fb_block=fb_block,
             row_block=row_block,
-            log_offset=config.log_offset,
         ),
         grid=grid,
         in_specs=[
@@ -319,7 +321,6 @@ def log_mel_spectrogram_pallas(
                 memory_space=pltpu.VMEM,
             ),
             *[w_spec if kind == "w" else fb_spec for kind in mat_kinds],
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (row_block, fb_block, mels_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
@@ -329,9 +330,16 @@ def log_mel_spectrogram_pallas(
             flops=2 * b * t_pad * n_sub * hop * 2 * n_bins * min(passes, 3)
             + 2 * b * t_pad * n_bins * mels_pad * 3,
             bytes_accessed=(b * rows * hop + b * mels_pad * t_pad) * 4,
-            transcendentals=b * t_pad * n_mels,
+            transcendentals=0,
         ),
         interpret=interpret,
-    )(hview, hview, *[jnp.asarray(m) for m in mats], zmuv)
+    )(hview, hview, *[jnp.asarray(m) for m in mats])
 
-    return out[:, :n_frames, :n_mels].swapaxes(-1, -2)  # (B, n_mels, T)
+    # log + ZMUV fused into the transpose+crop pass XLA runs anyway (reads
+    # the padded tiles once, writes the (B, n_mels, T) result): the log runs
+    # on the 40 real mels instead of all 128 padded kernel lanes
+    mel = out[:, :n_frames, :n_mels].swapaxes(-1, -2).astype(jnp.float32)
+    mean = jnp.float32(zmuv_mean)
+    inv_std = 1.0 / jnp.float32(zmuv_std)
+    res = (jnp.log(mel + config.log_offset) - mean) * inv_std
+    return res.astype(out_dtype or jnp.float32)  # (B, n_mels, T)

@@ -51,12 +51,17 @@ def test_step_time_model_matches_bench_points():
 
 
 def test_sustainable_monotonic_in_engine_cost():
-    """Cheaper per-hop engines sustain more streams; ceilings are respected."""
-    online = PROFILES[("online", 1)].sustainable_streams()
+    """Cheaper per-hop engines sustain more streams; ceilings are respected.
+
+    The latency-fit engines (incremental/trunk/blocked) are compared on the
+    headroom-scaled sustainable count; the full-window OnlineEngine profile
+    is a throughput anchor (bench.py captures no latency series for it), so
+    it is only comparable on the measured ceiling."""
     inc = PROFILES[("incremental", 1)].sustainable_streams()
     trunk = PROFILES[("streaming_trunk", 1)].sustainable_streams()
     blocked = PROFILES[("streaming_trunk", 3)].sustainable_streams()
-    assert online < inc < trunk < blocked
+    assert inc < trunk < blocked
+    assert PROFILES[("online", 1)].ceiling < PROFILES[("incremental", 1)].ceiling
     assert blocked <= PROFILES[("streaming_trunk", 3)].ceiling
 
 
