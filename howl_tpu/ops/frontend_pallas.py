@@ -150,7 +150,10 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block):
     else:
         per_w = 1 if passes == 1 else 2
         w_mats, fb_refs = mat_refs[: per_w * n_sub], mat_refs[per_w * n_sub :]
-        h_hi = h.astype(jnp.bfloat16)
+        # 1/2-pass modes receive bf16 hop rows (cast before the pad copy —
+        # see the pad comment in log_mel_spectrogram_pallas); 3-pass needs
+        # the f32 rows for the lo residue and casts here
+        h_hi = h if h.dtype == jnp.bfloat16 else h.astype(jnp.bfloat16)
         if passes == 3:
             h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = None
@@ -247,7 +250,14 @@ def log_mel_spectrogram_pallas(
     if fb_block % tail_rows:
         tail_rows = fb_block  # degenerate overlap: full-block lookahead
     # center reflect-pad on the true signal, then zero-extend so the hop-view
-    # has t_pad + tail_rows rows (the lookahead block of the last cell)
+    # has t_pad + tail_rows rows (the lookahead block of the last cell).
+    # jnp.pad is a full-array copy (~0.84 ms at batch 512 x 8 s — it rewrites
+    # all 264 MB at streaming bandwidth), so the 1/2-pass bf16 modes cast the
+    # audio BEFORE the pad: the kernel quantizes its rows to bf16 anyway, the
+    # cast commutes exactly with reflect/zero padding (both only duplicate or
+    # zero values), and the pad write + kernel input DMA both halve.
+    if passes <= 2:
+        audio = audio.astype(jnp.bfloat16)
     if config.center:
         audio = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     t_pad = _round_up(n_frames, fb_block)
@@ -329,7 +339,8 @@ def log_mel_spectrogram_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t_pad * n_sub * hop * 2 * n_bins * min(passes, 3)
             + 2 * b * t_pad * n_bins * mels_pad * 3,
-            bytes_accessed=(b * rows * hop + b * mels_pad * t_pad) * 4,
+            bytes_accessed=b * rows * hop * (2 if passes <= 2 else 4)
+            + b * mels_pad * t_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,

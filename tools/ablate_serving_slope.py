@@ -7,7 +7,7 @@ streaming path's components with the two-point slope (bench_hbm_sweep.py
 methodology) to target the real bottleneck:
 
   * full fused step (featurize + trunk + window head + softmax)
-  * frontend alone (Pallas polyphase bf16x2, the serving default)
+  * frontend alone (Pallas polyphase 1-pass bf16, the serving default)
   * frontend alone (XLA GEMM chain, HIGH)
   * trunk alone (on precomputed features)
   * head alone (cumsum window pooling + dense, on precomputed trunk)
@@ -135,9 +135,9 @@ def main(argv=None):
 
     if on_tpu:
         timed(
-            "frontend: pallas polyphase bf16x2",
+            "frontend: pallas polyphase bf16x1",
             lambda a, s: log_mel_spectrogram_pallas(
-                a, frontend, 0.0, 1.0, precision="bf16x2", out_dtype=compute_dtype),
+                a, frontend, 0.0, 1.0, precision="bf16", out_dtype=compute_dtype),
             audio,
         )
     timed(
