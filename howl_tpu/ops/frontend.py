@@ -252,7 +252,13 @@ def log_mel_spectrogram_vtlp(
 
 
 def _mel_core(audio: jnp.ndarray, fb: jnp.ndarray, config: FrontendConfig, precision=None) -> jnp.ndarray:
-    frames = frame_signal(audio.astype(jnp.float32), config)  # (B, T, n_fft)
+    # "bf16" mode casts BEFORE framing: frame_signal materializes the
+    # 2.56x-expanded frames tensor (the chain's dominant HBM traffic), and
+    # the cast commutes exactly with its pad/reshape/concat — so the frames
+    # materialize at half the bytes with bit-identical GEMM inputs (same
+    # trick as the Pallas kernel's pre-pad cast, frontend_pallas.py)
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    frames = frame_signal(audio.astype(dt), config)  # (B, T, n_fft)
     # Two windowed+cropped DFT GEMMs: Hann folded into the matrices (no
     # separate window pass over the 2.56x-expanded frames) and the Nyquist bin
     # cropped — its mel weight is identically zero, see nyquist_crop_bins.
@@ -273,9 +279,8 @@ def _mel_core(audio: jnp.ndarray, fb: jnp.ndarray, config: FrontendConfig, preci
         # The mel GEMM is 1-pass bf16 too: the all-positive contraction has
         # no cancellation, keeping its relative error at the same grade.
         kw = dict(preferred_element_type=jnp.float32)
-        f16 = frames.astype(jnp.bfloat16)
-        re = jnp.matmul(f16, cw.astype(jnp.bfloat16), **kw)
-        im = jnp.matmul(f16, sw.astype(jnp.bfloat16), **kw)
+        re = jnp.matmul(frames, cw.astype(jnp.bfloat16), **kw)
+        im = jnp.matmul(frames, sw.astype(jnp.bfloat16), **kw)
         power = re * re + im * im
         mel = jnp.matmul(power.astype(jnp.bfloat16), fb[:n_bins].astype(jnp.bfloat16), **kw)
         return jnp.log(mel + config.log_offset).swapaxes(-1, -2)

@@ -7,6 +7,7 @@ stream counts those per-hop DFT GEMMs are a real slice of the 62.5 ms budget
 is XLA's 3-pass bf16 emulation; precision="bf16" (ops/frontend.py) is 1 pass
 — this measures the per-step latency delta at serving stream counts so the
 auto default (inference/config.py serving_dft_precision) is set from data.
+(Post-flip, "auto" resolves to the 1-pass mode, so HIGH is pinned explicitly.)
 
 Each latency sample is one K-step on-device lax.scan chain divided by K,
 paired-call slope timed (2 chains minus 1 chain) to cancel the relay's fixed
@@ -131,7 +132,8 @@ def main():
 
     for label, fn in (("incremental", measure_inc), ("trunk", measure_trunk)):
         for n_s in counts:
-            for prec_label, prec in (("HIGH(auto)", "auto"), ("bf16x1", "bf16")):
+            import jax as _jax
+            for prec_label, prec in (("HIGH", _jax.lax.Precision.HIGH), ("bf16x1", "bf16")):
                 try:
                     p50, p99 = fn(n_s, prec)
                 except Exception as e:  # keep the sweep going on one failure
