@@ -91,10 +91,11 @@ class StreamingEngine:
         self.zmuv_std = float(zmuv_std)
         self.spec = spec or model_spec(getattr(model, "registered_name", "res8"))
         # the fused polyphase Pallas kernel is opt-in: at its fast 1-pass
-        # bf16 mode it measures ~4.7 ms/iter slope-timed vs ~6.3 for 2-pass
-        # per 512x8 s batch on v5e (tools/bench_frontend_tail_1pass.py), with
-        # ~7.5e-2 log-mel drift — validate decision equivalence per model
-        # before enabling in production (tools/validate_tpu_decisions.py:
+        # bf16 mode (+ pre-pad bf16 cast) it measures ~3.5 ms/iter
+        # slope-timed per 512x8 s batch on v5e — ~1.17M x realtime at the
+        # frontend alone (tools/bench_frontend_tail_1pass.py), with ~7.5e-2
+        # log-mel drift — validate decision equivalence per model before
+        # enabling in production (tools/validate_tpu_decisions.py:
         # bf16/bf16x2/None all decision-equal for res8 on hardware)
         self._use_pallas = (
             use_pallas_frontend and not self.spec.uses_deltas and jax.devices()[0].platform == "tpu"
