@@ -76,3 +76,40 @@ def test_pallas_extreme_overlap_falls_back(rng):
     ref = np.asarray(log_mel_spectrogram(audio, cfg))
     out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_prepad_bf16_cast_commutes_with_padding(rng):
+    """The 1/2-pass modes cast audio to bf16 BEFORE the reflect/zero pad
+    (halving the pad copy and kernel input DMA, frontend_pallas.py). Padding
+    only duplicates or zeroes values, so cast-then-pad must equal
+    pad-then-cast BIT-exactly — this pins the commutation the optimization
+    rests on, independent of the kernel."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    audio = (rng.standard_normal((3, 5000)) * 0.1).astype(np.float32)
+    for pad_args in ((((0, 0), (256, 256)), "reflect"), (((0, 0), (0, 777)), "constant")):
+        widths, mode = pad_args
+        a = jnp.pad(jnp.asarray(audio).astype(jnp.bfloat16), widths, mode=mode)
+        b = jnp.pad(jnp.asarray(audio), widths, mode=mode).astype(jnp.bfloat16)
+        assert a.dtype == b.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32)
+        )
+
+
+def test_prepad_cast_modes_match_f32_hview_grade(rng):
+    """1/2-pass kernels (bf16 hview) track the oracle at the same tolerance
+    the pre-round-4 f32-hview implementation was gated on — the pre-pad cast
+    changed WHERE the quantization happens, not its grade."""
+    import numpy as np
+
+    from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+    from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
+
+    cfg = FrontendConfig(n_mels=40)
+    audio = (rng.standard_normal((2, 12000)) * 0.1).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(audio, cfg))
+    for prec in ("bf16", "bf16x2"):
+        out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, 0.0, 1.0, interpret=True, precision=prec))
+        np.testing.assert_allclose(out, ref, atol=0.5)
