@@ -212,6 +212,12 @@ def log_mel_spectrogram_pallas(
     ``out_dtype=jnp.bfloat16`` writes the output tiles in bf16 straight from
     the kernel — bf16-serving engines cast the features anyway, so this saves
     half the output write traffic plus the separate XLA cast pass.
+
+    ``row_block``/``fb_block`` are expert knobs; the auto default (up to
+    8 x 128) measured within 1% of every working geometry on v5e. Large
+    products can exceed the ~16 MB scoped-VMEM budget and fail at compile
+    (measured: row_block >= 16 with fb_block 256 OOMs; 4-8 x 128-256 all
+    fit).
     """
     if audio.ndim == 1:
         audio = audio[None, :]
