@@ -12,11 +12,18 @@ The reference has no equivalent (it serves ONE microphone,
 ref howl/client/howl_client.py:14); this guards a concurrency axis that
 only exists here.
 
-Step-time model: ms_per_step(n) = a + b*n, fit from the BENCH_r03 device
-p50 latency points (one real v5e chip, res8, bf16), clamped to a >= 0.
-Sustainable concurrency additionally respects the measured capacity ceiling
-(streams/chip at the cadence from the same run — it encodes host-gather and
-HBM-state bounds the latency fit can't see). Re-measure with
+Step-time model: ms_per_step(n) = a + b*n, fit from the round-4 device p50
+latency points (one real v5e chip, res8, bf16, post-1-pass-DFT-flip run —
+the serving default since inference/config.py's ``serving_dft_precision``
+flip), clamped to a >= 0. Sustainable concurrency additionally respects the
+measured capacity ceiling (streams/chip at the cadence from the same run —
+it encodes host-gather and HBM-state bounds the latency fit can't see),
+discounted by ``VARIANCE_MARGIN`` so a slower chip than the calibration one
+is not silently over-advised (the round-4 driver re-run measured 95,118
+sustainable incremental streams against the builder calibration's 100,410 —
+a 5.3% same-code swing). The 0.85 headroom in ``sustainable_streams`` is
+the fit-side margin; the ceiling margin is separate because the ceiling is
+a hard measured capacity, not a prediction. Re-measure with
 tools/gen_capacity_table.py --calibrate after hardware or model changes.
 """
 
@@ -27,6 +34,15 @@ from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 HOP_MS = 62.5  # engine cadence at the default 16 kHz / 1000-sample hop
+
+# Chip/relay run-to-run variance margin applied to measured ceilings.
+# Largest observed same-code swing between the builder's calibration run and
+# the driver's independent re-run of the identical tree: 5.3% (incremental
+# ceiling 100,410 calibrated vs 95,118 driver-measured, round 4); full-window
+# showed 2.0% (75,210 vs 73,755), trunk/blocked <1%. Rounded up to 6%.
+# tests/test_capacity.py pins every margined ceiling at or below the
+# driver-measured round-4 numbers.
+VARIANCE_MARGIN = 0.06
 
 
 class CapacityWarning(UserWarning):
@@ -64,19 +80,21 @@ class EngineProfile:
 
     def sustainable_streams(self, hop_ms: float = HOP_MS, headroom: float = 0.85) -> int:
         """Max streams whose predicted step fits in headroom * budget, capped
-        at the measured ceiling (host gather / HBM stream-state bounds)."""
+        at the measured ceiling (host gather / HBM stream-state bounds)
+        discounted by the observed chip-to-chip variance margin."""
         a, b = self.fit()
         n = (self.budget_ms(hop_ms) * headroom - a) / b
-        return int(min(max(n, 0), self.ceiling))
+        return int(min(max(n, 0), self.ceiling * (1.0 - VARIANCE_MARGIN)))
 
 
-# BENCH_r03 (one v5e chip, res8 bf16, hop=62.5 ms): online_step_latency_ms*
-# p50 points + *_streams_per_chip ceilings.
+# Round-4 post-flip calibration (one v5e chip, res8 bf16, hop=62.5 ms,
+# 1-pass bf16 serving DFT): online_step_latency_ms* p50 points +
+# *_streams_per_chip ceilings.
 PROFILES: Dict[Tuple[str, int], EngineProfile] = {
     ("online", 1): EngineProfile(
         kind="online", label="OnlineEngine (full-window re-score)",
         # no direct latency series was captured; anchor on the measured
-        # cadence capacity (44,209 streams fill the 62.5 ms budget)
+        # cadence capacity (75,210 streams fill the 62.5 ms budget)
         points=((0, 0.0), (75210, HOP_MS)),
         ceiling=75210,
     ),
