@@ -99,29 +99,52 @@ class AudioDataset:
     def load_audio(self, metadata: AudioClipMetadata) -> np.ndarray:
         return audio_utils.silent_load(metadata.path, self.sample_rate, self.mono)
 
-    def audio_length_seconds(self, sample_limit: Optional[int] = None, num_workers: Optional[int] = None) -> float:
+    def audio_length_seconds(
+        self,
+        sample_limit: Optional[int] = None,
+        num_workers: Optional[int] = None,
+        use_trim: bool = False,
+        top_db: float = 40.0,
+    ) -> float:
+        """Total decoded audio seconds; ``use_trim`` drops leading/trailing
+        silence per clip before accumulating, like the reference's
+        statistics pass (ref: howl/data/dataset/dataset.py:146-171)."""
+        from howl_tpu.utils.audio_utils import trim_silence
         from howl_tpu.utils.parallel import parallel_map
 
+        def clip_seconds(metadata) -> float:
+            audio = self.load_audio(metadata)
+            if use_trim:
+                audio = trim_silence(audio, top_db=top_db)
+            return audio.shape[-1] / self.sample_rate
+
         durations = parallel_map(
-            lambda metadata: len(self.load_audio(metadata)) / self.sample_rate,
-            self.metadata_list[:sample_limit],
-            num_workers=num_workers,
+            clip_seconds, self.metadata_list[:sample_limit], num_workers=num_workers
         )
         return float(sum(durations))
 
     def compute_statistics(
-        self, word_searcher=None, compute_length: bool = True, num_workers: Optional[int] = None
+        self,
+        word_searcher=None,
+        compute_length: bool = True,
+        num_workers: Optional[int] = None,
+        use_trim: bool = True,
+        top_db: float = 40.0,
     ) -> dict:
         """Dataset stats: clip count, audio hours, vocab occurrence counts.
         Per-clip work runs on a worker pool sized by ``num_workers`` (None ->
         SETTINGS.resource.cpu_count), matching the reference's pooled
         ``_compute_sample_statistic`` (ref dataset.py:175-194); the reduction
-        over ordered per-clip results is identical to a sequential run."""
+        over ordered per-clip results is identical to a sequential run.
+        ``use_trim`` (the reference default too, ref dataset.py:211-214)
+        silence-trims each clip at ``top_db`` before accumulating length."""
         from howl_tpu.utils.parallel import parallel_map
 
         stats = {"num_examples": len(self.metadata_list)}
         if compute_length:
-            stats["audio_length_seconds"] = self.audio_length_seconds(num_workers=num_workers)
+            stats["audio_length_seconds"] = self.audio_length_seconds(
+                num_workers=num_workers, use_trim=use_trim, top_db=top_db
+            )
         if word_searcher is not None:
             per_clip = parallel_map(
                 lambda metadata: word_searcher.count_vocab(metadata.transcription),

@@ -68,14 +68,48 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=1)
+def _ffmpeg_path() -> str:
+    import shutil
+
+    return shutil.which("ffmpeg") or ""
+
+
+def _ffmpeg_decode(path: str, sample_rate: int, mono: bool) -> tuple[np.ndarray, int]:
+    """Decode any ffmpeg-supported container (mp3/ogg/flac/...) to float32 PCM
+    by shelling out to the ffmpeg CLI — no Python codec dependencies. Gives
+    `silent_load` the reference's ability to ingest raw Common Voice mp3
+    dumps, which it decodes via librosa/libsndfile
+    (ref: howl/utils/audio_utils.py:8)."""
+    import subprocess
+
+    ffmpeg = _ffmpeg_path()
+    if not ffmpeg:
+        raise RuntimeError(
+            f"cannot decode {path!r}: not a WAV file and no `ffmpeg` binary on "
+            "PATH. Install ffmpeg or transcode the corpus to 16 kHz WAV."
+        )
+    channels = "1" if mono else "2"
+    out = subprocess.run(
+        [ffmpeg, "-v", "error", "-nostdin", "-i", str(path),
+         "-f", "f32le", "-acodec", "pcm_f32le", "-ac", channels,
+         "-ar", str(int(sample_rate)), "pipe:1"],
+        capture_output=True, check=True, timeout=120,
+    ).stdout
+    data = np.frombuffer(out, dtype="<f4").astype(np.float32)
+    if not mono:
+        data = data.reshape(-1, 2).T
+    else:
+        data = data[None, :]
+    return data, int(sample_rate)
+
+
 def _load_uncached(path: str, sample_rate: int, mono: bool) -> np.ndarray:
     suffix = Path(path).suffix.lower()
-    if suffix not in (".wav", ".wave"):
-        raise ValueError(
-            f"howl_tpu decodes WAV natively; got {suffix!r} ({path}). "
-            "Transcode other formats to 16 kHz WAV on ingest (e.g. with ffmpeg)."
-        )
-    data, sr = read_wav(path)
+    if suffix in (".wav", ".wave"):
+        data, sr = read_wav(path)
+    else:
+        data, sr = _ffmpeg_decode(path, sample_rate, mono)
     if mono and data.shape[0] > 1:
         data = data.mean(axis=0, keepdims=True)
     data = resample(data, sr, sample_rate)
@@ -101,6 +135,45 @@ def silent_load(path: PathLike, sample_rate: int = None, mono: bool = None) -> n
         return _cached_load(str(path), int(sample_rate), bool(mono))
     except Exception:  # noqa: BLE001 — parity: any decode failure yields silence
         return np.zeros(0, dtype=np.float32)
+
+
+def trim_silence(
+    audio: np.ndarray, top_db: float = 40.0, frame_length: int = 2048, hop_length: int = 512
+) -> np.ndarray:
+    """Trim leading/trailing silence, matching librosa ``effects.trim``
+    semantics: per-frame RMS in dB relative to the loudest frame, frames
+    quieter than ``-top_db`` at both ends are dropped, and the kept span is
+    ``[hop * first_loud, min(n, hop * (last_loud + 1))]``.
+
+    The reference trims clips this way (top_db=40) before accumulating
+    dataset audio-length statistics (ref: howl/data/dataset/dataset.py:146-171).
+    All-silent input is returned unchanged (no loud frame to anchor on)."""
+    audio = np.asarray(audio)
+    n = audio.shape[-1]
+    if n == 0:
+        return audio
+    # centered frames, zero-padded at the edges like librosa's rms(center=True)
+    pad = frame_length // 2
+    padded = np.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)])
+    n_frames = 1 + n // hop_length
+    starts = np.arange(n_frames) * hop_length
+    rms = np.sqrt(
+        np.stack(
+            [np.mean(np.square(padded[..., s : s + frame_length]), axis=-1) for s in starts],
+            axis=-1,
+        )
+    )
+    if audio.ndim > 1:  # any-channel-loud counts as voiced
+        rms = rms.max(axis=tuple(range(audio.ndim - 1)))
+    peak = rms.max()
+    if peak <= 0.0:
+        return audio
+    loud = np.flatnonzero(rms > peak * 10.0 ** (-top_db / 20.0))
+    if loud.size == 0:
+        return audio
+    start = int(loud[0]) * hop_length
+    end = min(n, (int(loud[-1]) + 1) * hop_length)
+    return audio[..., start:end]
 
 
 def stride(
