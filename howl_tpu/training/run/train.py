@@ -48,23 +48,25 @@ from howl_tpu.utils.random_utils import set_random_seed
 from howl_tpu.workspace import Workspace
 
 
-def build_noise_bank(noise_ds, window_samples: int, max_windows: int = 512) -> Optional[np.ndarray]:
-    """Cut noise clips into a device-resident (N, window) bank for on-device
-    mixing (replaces the reference's per-example random noise reads)."""
-    windows = []
-    for metadata in noise_ds.metadata_list:
-        audio = noise_ds.load_audio(metadata)
-        for start in range(0, max(len(audio) - window_samples, 0) + 1, window_samples):
-            chunk = audio[start : start + window_samples]
-            if len(chunk) == window_samples:
-                windows.append(chunk)
-            if len(windows) >= max_windows:
-                break
-        if len(windows) >= max_windows:
-            break
-    if not windows:
+def build_noise_bank(
+    noise_ds, window_samples: int, max_windows: int = 512, seed: int = 0
+) -> Optional[np.ndarray]:
+    """Seeded FULL-CORPUS (N, window) noise bank for on-device eval mixing.
+
+    This used to take the first ``max_windows`` contiguous chunks of the
+    first few files (~4 minutes of noise); the reference's seeded eval
+    ``DatasetMixer`` samples uniformly over the whole noise corpus
+    (ref: training/run/train.py:219-220, howl/data/transform/transform.py:199-229).
+    Draws are now uniform over (clip, offset) via ``NoiseBankSampler`` —
+    deterministic per ``seed`` (every eval pass sees the same noise, like the
+    reference's ``seed=0`` mixers), with the whole-corpus distribution."""
+    if not len(noise_ds.metadata_list):
         return None
-    return np.stack(windows).astype(np.float32)
+    from howl_tpu.data.noise_bank import NoiseBankSampler
+
+    return NoiseBankSampler(
+        noise_ds, window_samples, num_windows=max_windows, seed=seed
+    ).sample(0)
 
 
 @partial(jax.jit, static_argnames=("strength", "prob"))
