@@ -130,6 +130,11 @@ class OnlineEngine:
         self.state = init_state(self.num_streams, self.cfg.num_labels, self._s_steps, self._w_steps)
         self.carry = None
         self.curr_time = 0.0
+        # per-stream results of the LAST ingest, same surface as the per-hop
+        # engines (IncrementalOnlineEngine / FusedStreamingOnlineEngine) so
+        # serving loops and the hardware A/B tool can read per-stream flags
+        self.last_labels = None
+        self.last_fired = None
 
     def shard_streams(self, mesh):
         """Serve the streams SPMD over the mesh's ``data`` axis (see
@@ -190,7 +195,9 @@ class OnlineEngine:
             self.variables, audio, self.state, jnp.float32(self.curr_time), self.carry
         )
         self.curr_time += self.stride_ms
-        return bool(np.asarray(fired_now).any())
+        self.last_labels = np.asarray(label)
+        self.last_fired = np.asarray(fired_now)
+        return bool(self.last_fired.any())
 
     def infer(self, window_audio: np.ndarray) -> bool:
         """Reference-API-shaped alias for ingest()."""

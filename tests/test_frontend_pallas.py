@@ -40,6 +40,28 @@ def test_pallas_matches_jnp_oracle(n_mels, samples, rng):
     assert float(np.abs(x1 - x2).max()) < 0.25 / max(std, 1e-6)
 
 
+@pytest.mark.parametrize("samples,cells", [(64000, 3), (150000, 6)])
+def test_pallas_multicell_frame_grid_lookahead(samples, cells, rng):
+    """The narrow-tail lookahead block map ``(i+1)*fb_block//tail_rows``
+    (frontend_pallas.py) is only exercised for grid index i >= 1 when
+    t_pad > FRAME_BLOCK. Clips <= 16,000 samples (81 frames -> one cell)
+    never cover it in CI; an off-by-one-block error there corrupts frames
+    near EVERY 128-frame boundary. 64,000 samples -> 321 frames -> 3 cells;
+    150,000 -> 751 frames -> 6 cells. The 3-pass hi/lo default must track
+    the oracle at ~1e-4 — block-boundary corruption is orders louder."""
+    from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+    from howl_tpu.ops.frontend_pallas import FRAME_BLOCK, log_mel_spectrogram_pallas
+
+    cfg = FrontendConfig(n_mels=40)
+    n_frames = samples // cfg.hop_length + 1
+    assert -(-n_frames // FRAME_BLOCK) == cells  # the grid we claim to test
+    audio = (rng.standard_normal((1, samples)) * 0.1).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(audio, cfg))
+    out = np.asarray(log_mel_spectrogram_pallas(audio, cfg, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_pallas_single_clip(rng):
     from howl_tpu.ops.frontend import FrontendConfig
     from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas

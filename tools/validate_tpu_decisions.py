@@ -92,8 +92,12 @@ def main():
                 )
                 compare(f"res8+pallas[{prec or 'bf16x3'}]", a, pall.infer_batch(audio))
             # the hop-incremental online engines at their serving precisions:
-            # decisions vs the same engine class at HIGH (their current auto)
-            from howl_tpu.inference.online import IncrementalOnlineEngine
+            # 1-pass bf16 DFT (the auto default since the round-4 flip) vs the
+            # SAME engine class pinned to exact HIGHEST. NB: the baseline must
+            # be pinned explicitly — since the flip, auto ALSO resolves to
+            # "bf16" under a bf16 compute dtype, so an unpinned baseline would
+            # compare the fast mode against itself.
+            from howl_tpu.inference.online import IncrementalOnlineEngine, OnlineEngine
             from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine
 
             def run_online(cls, **kw):
@@ -109,12 +113,29 @@ def main():
                     labels.append(np.asarray(eng.last_labels))
                 return np.stack(fired), np.stack(labels)
 
-            for cls, tag in (
-                (IncrementalOnlineEngine, "online"),
-                (FusedStreamingOnlineEngine, "trunk"),
+            def run_full_window(**kw):
+                # OnlineEngine re-scores a full window per hop: slide the
+                # window over the same clips at the engine's own stride
+                eng = OnlineEngine(
+                    model, variables, cfg, frontend, spec=spec, num_streams=16,
+                    compute_dtype=jnp.bfloat16, **kw,
+                )
+                hop = int(round(eng.stride_ms / 1000.0 * cfg.sample_rate))
+                win = eng.window_samples
+                fired, labels = [], []
+                for end in range(hop, (audio.shape[1] // hop) * hop + 1, hop):
+                    eng.ingest(audio[:, max(0, end - win) : end])
+                    fired.append(np.asarray(eng.last_fired))
+                    labels.append(np.asarray(eng.last_labels))
+                return np.stack(fired), np.stack(labels)
+
+            for runner, tag in (
+                (lambda **kw: run_online(IncrementalOnlineEngine, **kw), "online"),
+                (lambda **kw: run_online(FusedStreamingOnlineEngine, **kw), "trunk"),
+                (run_full_window, "full-window"),
             ):
-                f_hi, l_hi = run_online(cls)
-                f_b1, l_b1 = run_online(cls, dft_precision="bf16")
+                f_hi, l_hi = runner(dft_precision=jax.lax.Precision.HIGHEST)
+                f_b1, l_b1 = runner(dft_precision="bf16")
                 det_eq = bool((f_hi == f_b1).all())
                 lab_frac = float((l_hi == l_b1).mean())
                 ok = det_eq and lab_frac >= 0.99
