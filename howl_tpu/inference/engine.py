@@ -63,6 +63,8 @@ class StreamingEngine:
         use_pallas_frontend: bool = False,
         pallas_precision="bf16",
         dft_precision="auto",
+        carry_windows: bool = False,
+        use_pallas_stem: bool = False,
     ):
         """``compute_dtype=jnp.bfloat16`` casts features and model parameters
         for scoring — roughly doubles MXU conv throughput on TPU; posteriors
@@ -79,7 +81,20 @@ class StreamingEngine:
         jitter) and interior windows see real clip context instead of the
         isolated window's zero padding; train with --fused-trunk (trunk-mode
         context windows) for exact train/serve alignment. Pass
-        ``fused_trunk=False`` to force the legacy per-window mega-batch."""
+        ``fused_trunk=False`` to force the legacy per-window mega-batch.
+
+        ``carry_windows`` (recurrent models only; default False) threads the
+        RNN state across a clip's strided windows via a `lax.scan`. The
+        default matches the reference's ACTUAL behavior: although its
+        engines plumb ``model.streaming_state`` through every window (ref
+        inference.py:257-261) and train.py builds every model
+        ``.streaming()`` (ref train.py:246), SimpleLstm/SimpleGru/LAS never
+        override the base property, whose getter returns None and whose
+        setter is a no-op (ref base.py:31-36; only SequentialLstm overrides
+        it, rnn.py:52-57) — so the reference's windowed recurrent scoring is
+        stateless per window in practice (empirically pinned:
+        tests/test_composed_differential_rnn.py). Stateless windows also
+        score as ONE mega-batch instead of a sequential window scan."""
         from howl_tpu.inference.config import cast_compute_dtype
 
         self.model = model
@@ -120,6 +135,30 @@ class StreamingEngine:
             if fused_trunk is None
             else bool(fused_trunk)
         )
+        self.carry_windows = bool(carry_windows)
+        # opt-in fused Pallas stem (ops/stem_pallas.py): conv0+relu+avgpool
+        # in VMEM. Measured (tools/bench_trunk_kernel_micro.py, v5e,
+        # batch 512 x 8 s): the stem is ~3.6 ms of the 5.87 ms XLA trunk at
+        # ~1.5% MFU (XLA materializes the ~1.2 GB pre-pool tensor); the
+        # fused kernel runs it in ~2.25 ms incl. its XLA im2col prep, and
+        # the residual layers stay on XLA's conv emitter (2.28 ms, already
+        # near the 45->128 padding floor — fused Pallas residual trunks
+        # measured 3-8x slower and were rejected). conv0 weights are folded
+        # once at construction; reassigning engine.variables afterwards
+        # (replication/sharding keeps the same values) does not re-fold.
+        self._use_pallas_stem = False
+        self._w0fold = None
+        if use_pallas_stem and self.fused_trunk and self.spec.supports_trunk:
+            from howl_tpu.ops.stem_pallas import fold_stem_weights
+
+            kernel = np.asarray(
+                jax.device_get(self.variables["params"]["conv0"]["kernel"]), np.float32
+            )
+            pool = getattr(model, "pooling", (3, 4))
+            w0 = fold_stem_weights(kernel, n_mels=frontend.n_mels, pool_f=pool[1])
+            self._w0fold = jnp.asarray(w0, self.compute_dtype or jnp.float32)
+            self._stem_interpret = jax.devices()[0].platform != "tpu"
+            self._use_pallas_stem = True
         self._score = self._build_scorer()
         self._geom_cache: dict = {}
         self._infer_fn = self._build_infer_fused()
@@ -147,6 +186,24 @@ class StreamingEngine:
             feats = feats.astype(self.compute_dtype)
         return feats
 
+    def _featurize_tm(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """Time-major (B, T, n_mels) ZMUV'd log-mels for the fused Pallas
+        stem — the Pallas frontend's native tile orientation, so the
+        (B, F, T) transpose AND the trunk's transpose back both vanish."""
+        if self._use_pallas:
+            from howl_tpu.ops.frontend_pallas import log_mel_spectrogram_pallas
+
+            return log_mel_spectrogram_pallas(
+                audio, self.frontend, self.zmuv_mean, self.zmuv_std,
+                precision=self._pallas_precision, out_dtype=self.compute_dtype,
+                layout="tm",
+            )
+        mels = log_mel_spectrogram(audio, self.frontend, precision=self._dft_precision)
+        mel_tm = ((mels - self.zmuv_mean) / self.zmuv_std).swapaxes(-1, -2)
+        if self.compute_dtype is not None:
+            mel_tm = mel_tm.astype(self.compute_dtype)
+        return mel_tm
+
     def _build_scorer(self):
         model, spec = self.model, self.spec
         wf, sf = self.window_frames, self.stride_frames
@@ -157,8 +214,20 @@ class StreamingEngine:
 
             @partial(jax.jit, static_argnames=("n_windows",))
             def score_fused(variables, audio, n_windows):
-                feats = self._featurize(audio)  # (B, C, F, T)
-                trunk = model.apply(variables, feats, train=False, method="trunk_features")
+                if self._use_pallas_stem:
+                    from howl_tpu.ops.stem_pallas import res8_stem_pallas
+
+                    mel_tm = self._featurize_tm(audio)  # (B, T, F)
+                    s0 = res8_stem_pallas(
+                        mel_tm, self._w0fold,
+                        n_mels=self.frontend.n_mels, ch=model.num_maps,
+                        pool_t=model.pooling[0], pool_f=model.pooling[1],
+                        interpret=self._stem_interpret,
+                    )
+                    trunk = model.apply(variables, s0, train=False, method="residual_features")
+                else:
+                    feats = self._featurize(audio)  # (B, C, F, T)
+                    trunk = model.apply(variables, feats, train=False, method="trunk_features")
                 # f32 before the cumsum: bf16 running sums over long clips
                 # would leak precision into every window mean
                 tf = trunk.astype(jnp.float32).mean(axis=2)  # (B, T', maps)
@@ -188,11 +257,14 @@ class StreamingEngine:
             idx = starts[:, None] + np.arange(wf)[None, :]  # (n_windows, wf)
             windows = feats[:, :, :, idx]  # (B, 3, F, n_windows, wf)
             windows = windows.transpose(0, 3, 1, 2, 4)  # (B, n_windows, 3, F, wf)
-            if spec.is_recurrent:
-                # reference parity: a streaming recurrent model carries its
-                # hidden state ACROSS windows (model.streaming(), ref
-                # rnn.py:52-68 + ingest_frame). Scan windows chronologically
-                # with an explicit carry, vectorized over streams.
+            if spec.is_recurrent and self.carry_windows:
+                # opt-in: thread the RNN state ACROSS windows — what the
+                # reference's engine plumbing INTENDS (model.streaming(),
+                # ref inference.py:257-261) but silently never does for
+                # lstm/gru/las, whose streaming_state property is the base
+                # no-op (ref base.py:31-36; see __init__ docstring). Scan
+                # windows chronologically with an explicit carry,
+                # vectorized over streams.
                 def step(carry, window_feats):
                     logits, new_carry = model.apply(
                         variables, window_feats, train=False, carry=carry, return_carry=True
@@ -209,6 +281,11 @@ class StreamingEngine:
                     logits_seq = logits0[None]
                 probs = jax.nn.softmax(logits_seq.astype(jnp.float32), -1)  # (n_windows, B, L)
                 return probs.swapaxes(0, 1)
+            # static models AND (by default) recurrent models: every window
+            # scored independently as one mega-batch — the reference's
+            # actual windowed behavior for lstm/gru/las (fresh zero RNN
+            # state per window: its streaming_state property is a no-op,
+            # ref base.py:31-36; pinned by the composed RNN differential)
             flat = windows.reshape(b * n_windows, c, f, wf)
             logits = model.apply(variables, flat, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1).reshape(b, n_windows, -1)
@@ -253,7 +330,9 @@ class StreamingEngine:
         if self.spec.is_sequential:
             shape = jax.ShapeDtypeStruct((batch, num_samples), jnp.float32)
             t_steps = jax.eval_shape(lambda v, a: self._score(v, a, n_win), self.variables, shape).shape[1]
-            clip_ms = num_samples / cfg.sample_rate * 1000.0
+            # ref truncates the clip duration to whole ms BEFORE dividing by
+            # the frame count (delta_ms = int(...)/len, ref inference.py:188)
+            clip_ms = float(int(num_samples / cfg.sample_rate * 1000))
             times = np.arange(1, t_steps + 1) * (clip_ms / t_steps)
             check_offset_is_stride = False
         else:
@@ -348,8 +427,9 @@ class StreamingEngine:
         probs = self._score(self.variables, audio, n_win)  # (B, T, L)
         t_steps = probs.shape[1]
         if self.spec.is_sequential:
-            # whole-clip engine cadence: delta = clip_ms / n_frames (ref :196)
-            clip_ms = num_samples / self.cfg.sample_rate * 1000.0
+            # whole-clip engine cadence: delta = int(clip_ms) / n_frames —
+            # the reference truncates to whole ms first (ref inference.py:188)
+            clip_ms = float(int(num_samples / self.cfg.sample_rate * 1000))
             delta = clip_ms / t_steps
             times = np.arange(1, t_steps + 1) * delta
             check_offset_is_stride = False

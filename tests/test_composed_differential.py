@@ -219,7 +219,7 @@ _FRONTEND_KW = dict(n_mels=40, center=False)
 _ZMUV = (-0.5, 1.5)  # mean, mean2 -> std = sqrt(1.25)
 
 
-def _our_engine(model, variables, cfg):
+def _our_engine(model, variables, cfg, **engine_kwargs):
     from howl_tpu.inference.engine import StreamingEngine
     from howl_tpu.ops.frontend import FrontendConfig
 
@@ -228,16 +228,17 @@ def _our_engine(model, variables, cfg):
         model, variables, cfg, FrontendConfig(**_FRONTEND_KW),
         zmuv_mean=mean, zmuv_std=float(np.sqrt(mean2 - mean**2)),
         fused_trunk=False,  # per-window scoring: the exact composition under test
+        **engine_kwargs,
     )
 
 
-def _compare_stacks(ref, torch_model, model, variables, cfg, clips):
+def _compare_stacks(ref, torch_model, model, variables, cfg, clips, engine_kwargs=None):
     """The core differential: both stacks on the same clips/weights; asserts
     identical ingest counts, per-window labels, fire decisions, fire steps,
     and fire timestamps. Returns the per-clip fire decisions."""
     from howl_tpu.ops.frontend import FrontendConfig
 
-    engine = _our_engine(model, variables, cfg)
+    engine = _our_engine(model, variables, cfg, **(engine_kwargs or {}))
     ref_engine, _ = _build_ref_engine(
         ref, cfg, FrontendConfig(**_FRONTEND_KW), torch_model, *_ZMUV
     )

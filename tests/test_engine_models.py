@@ -12,7 +12,7 @@ from howl_tpu.ops.frontend import FrontendConfig
 from howl_tpu.training.step import StepConfig, featurize
 
 
-def _engine_for(name, num_labels=3, eval_stride_size_ms=125.0):
+def _engine_for(name, num_labels=3, eval_stride_size_ms=125.0, **engine_kwargs):
     cfg = EngineConfig(
         inference_sequence=(0, 1),
         max_window_size_ms=500.0,
@@ -27,14 +27,17 @@ def _engine_for(name, num_labels=3, eval_stride_size_ms=125.0):
         StepConfig(frontend=frontend, zmuv_mean=0.0, zmuv_std=1.0, use_vtlp=False),
     )
     variables = model.init({"params": jax.random.PRNGKey(0)}, feats0, train=False)
-    return StreamingEngine(model, variables, cfg, frontend, spec=model_spec(name))
+    return StreamingEngine(model, variables, cfg, frontend, spec=model_spec(name), **engine_kwargs)
 
 
 @pytest.mark.parametrize("name", ["lstm", "gru"])
-def test_recurrent_engine_carries_state_across_windows(name, rng):
-    # two non-overlapping windows so the carried state hasn't washed out by the
-    # end of the second window (tanh recurrences forget over ~40+ steps)
-    engine = _engine_for(name, eval_stride_size_ms=500.0)
+def test_recurrent_engine_carry_windows_opt_in(name, rng):
+    """carry_windows=True threads RNN state across windows (the behavior the
+    reference's engine plumbing INTENDS but silently never delivers for
+    lstm/gru — their streaming_state property is the base-class no-op, ref
+    base.py:31-36). Two non-overlapping windows so the carried state hasn't
+    washed out by the end of the second window."""
+    engine = _engine_for(name, eval_stride_size_ms=500.0, carry_windows=True)
     audio = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
     out = engine.infer_batch(audio)
     assert np.asarray(out["probs"]).shape == (2, 2, 3)
@@ -46,6 +49,26 @@ def test_recurrent_engine_carries_state_across_windows(name, rng):
     p1 = np.asarray(out["probs"])
     p2 = np.asarray(out2["probs"])
     assert np.abs(p1[:, -1] - p2[:, -1]).max() > 1e-5, "no state carried across windows"
+
+
+@pytest.mark.parametrize("name", ["lstm", "gru"])
+def test_recurrent_engine_default_matches_reference_stateless_windows(name, rng):
+    """Default (parity): windows are scored with fresh zero RNN state, like
+    the reference actually does (streaming_state no-op, empirically pinned
+    in test_composed_differential_rnn.py) — a window's posterior must NOT
+    depend on earlier audio."""
+    engine = _engine_for(name, eval_stride_size_ms=500.0)
+    audio = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+    out = engine.infer_batch(audio)
+    audio2 = audio.copy()
+    # guard band: clip-level featurization (center=True) shares frames up to
+    # n_fft/2 samples across the window boundary at 8000 (the documented
+    # engine deviation #1) — stop the perturbation before frame 40's support
+    audio2[:, :7700] += 1.0
+    out2 = engine.infer_batch(audio2)
+    p1 = np.asarray(out["probs"])
+    p2 = np.asarray(out2["probs"])
+    np.testing.assert_allclose(p1[:, -1], p2[:, -1], atol=1e-5)
 
 
 def test_static_engine_windows_independent(rng):
