@@ -66,6 +66,16 @@ class Res8(HowlModel):
             x = x.astype(self.dtype)
         y = nn.relu(self.conv0(x))
         y = nn.avg_pool(y, self.pooling, strides=self.pooling)
+        return self.residual_features(y, train=train)
+
+    def residual_features(self, y: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Pooled stem activations (B, T', F', maps) -> trunk output. Split
+        from ``trunk_features`` so serving can swap the stem for the fused
+        Pallas kernel (ops/stem_pallas.py) and feed the same residual stack
+        — XLA's conv emitter is already near the 45->128 padding floor on
+        these six layers (measured: tools/bench_trunk_kernel_micro.py)."""
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
         x = old_x = y
         for i in range(1, 7):
             y = nn.relu(getattr(self, f"conv{i}")(x))

@@ -190,7 +190,9 @@ def _kernel(h0_ref, h1_ref, *refs, passes, n_sub, n_bins, fb_block, row_block):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "interpret", "precision", "out_dtype", "row_block", "fb_block"),
+    static_argnames=(
+        "config", "interpret", "precision", "out_dtype", "row_block", "fb_block", "layout"
+    ),
 )
 def log_mel_spectrogram_pallas(
     audio: jnp.ndarray,
@@ -202,8 +204,14 @@ def log_mel_spectrogram_pallas(
     out_dtype=None,
     row_block: int | None = None,
     fb_block: int | None = None,
+    layout: str = "fm",
 ) -> jnp.ndarray:
     """(B, samples) -> ZMUV-normalized (B, n_mels, frames) log-mels.
+
+    ``layout="tm"`` returns (B, frames, n_mels) instead — the kernel's
+    native tile orientation, skipping the transpose entirely. The fused
+    Pallas stem (ops/stem_pallas.py) consumes this directly, removing the
+    (B, F, T) -> (B, T, F) round trip the NHWC trunk otherwise pays.
 
     Numerically matches ``(log_mel_spectrogram(audio) - mean) / std`` from the
     jnp reference (same center/reflect padding, Hann window, HTK mel); see the
@@ -240,6 +248,8 @@ def log_mel_spectrogram_pallas(
         from howl_tpu.ops.frontend import log_mel_spectrogram
 
         mels = log_mel_spectrogram(audio, config)
+        if layout == "tm":
+            mels = mels.swapaxes(-1, -2)
         return ((mels - zmuv_mean) / zmuv_std).astype(out_dtype or jnp.float32)
 
     # lookahead granularity: frame t of cell i needs hop-rows up to
@@ -354,9 +364,13 @@ def log_mel_spectrogram_pallas(
 
     # log + ZMUV fused into the transpose+crop pass XLA runs anyway (reads
     # the padded tiles once, writes the (B, n_mels, T) result): the log runs
-    # on the 40 real mels instead of all 128 padded kernel lanes
-    mel = out[:, :n_frames, :n_mels].swapaxes(-1, -2).astype(jnp.float32)
+    # on the 40 real mels instead of all 128 padded kernel lanes. The "tm"
+    # layout keeps the kernel's native (B, T, n_mels) tile orientation —
+    # crop + log only, no transpose.
+    mel = out[:, :n_frames, :n_mels].astype(jnp.float32)
+    if layout == "fm":
+        mel = mel.swapaxes(-1, -2)
     mean = jnp.float32(zmuv_mean)
     inv_std = 1.0 / jnp.float32(zmuv_std)
     res = (jnp.log(mel + config.log_offset) - mean) * inv_std
-    return res.astype(out_dtype or jnp.float32)  # (B, n_mels, T)
+    return res.astype(out_dtype or jnp.float32)  # (B, n_mels, T) or (B, T, n_mels)
