@@ -221,9 +221,13 @@ def main():
     # decision-equivalence vs the f32/HIGHEST engine validated for res8 on
     # this chip (tools/validate_tpu_decisions.py: detections, first-fire
     # steps, and per-step labels all equal for bf16, bf16x2, and 3-pass)
+    # + the fused Pallas stem (ops/stem_pallas.py): conv0+relu+avgpool in
+    # VMEM — the measured trunk hot spot (~3.6 of 5.87 ms at ~1.5% MFU) runs
+    # in ~2.25 ms; decision equality vs the f32 oracle validated on hardware
+    # (tools/validate_tpu_decisions.py res8+pallas+stem)
     engine = StreamingEngine(
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
-        compute_dtype=compute_dtype, use_pallas_frontend=on_tpu,
+        compute_dtype=compute_dtype, use_pallas_frontend=on_tpu, use_pallas_stem=on_tpu,
     )
     legacy = StreamingEngine(
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),

@@ -94,7 +94,15 @@ class StreamingEngine:
         it, rnn.py:52-57) — so the reference's windowed recurrent scoring is
         stateless per window in practice (empirically pinned:
         tests/test_composed_differential_rnn.py). Stateless windows also
-        score as ONE mega-batch instead of a sequential window scan."""
+        score as ONE mega-batch instead of a sequential window scan.
+
+        ``use_pallas_stem`` (trunk models only) runs the conv0+relu+avgpool
+        stem as the fused Pallas kernel (ops/stem_pallas.py) — the measured
+        trunk hot spot (~3.6 -> ~2.25 ms at batch 512 x 8 s on v5e); the
+        residual layers stay on XLA's conv emitter, which is already at the
+        45->128 padding floor. Decision equality validated on hardware
+        (tools/validate_tpu_decisions.py res8+pallas+stem); interpret-mode
+        parity on CPU (tests/test_stem_pallas.py)."""
         from howl_tpu.inference.config import cast_compute_dtype
 
         self.model = model

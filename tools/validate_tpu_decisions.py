@@ -91,6 +91,13 @@ def main():
                     use_pallas_frontend=True, pallas_precision=prec,
                 )
                 compare(f"res8+pallas[{prec or 'bf16x3'}]", a, pall.infer_batch(audio))
+            # the fused Pallas stem (ops/stem_pallas.py) on top of the
+            # serving-default frontend — the bench headline configuration
+            stem = StreamingEngine(
+                model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16,
+                use_pallas_frontend=True, use_pallas_stem=True,
+            )
+            compare("res8+pallas+stem", a, stem.infer_batch(audio))
             # the hop-incremental online engines at their serving precisions:
             # 1-pass bf16 DFT (the auto default since the round-4 flip) vs the
             # SAME engine class pinned to exact HIGHEST. NB: the baseline must
