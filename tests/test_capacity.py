@@ -131,6 +131,7 @@ def _tiny_profiles():
     }
 
 
+@pytest.mark.slow
 def test_hub_warns_on_unsustainable_config(tmp_path, ref_res8, monkeypatch):
     torch, Res8 = ref_res8
     from howl_tpu import hub
@@ -151,6 +152,7 @@ def test_hub_warns_on_unsustainable_config(tmp_path, ref_res8, monkeypatch):
         hub.load_workspace_engine(src, num_streams=4, incremental=True)
 
 
+@pytest.mark.slow
 def test_hub_auto_selects_engine(tmp_path, ref_res8, monkeypatch):
     torch, Res8 = ref_res8
     from howl_tpu import hub

@@ -327,6 +327,7 @@ def _calibrate_tone_labels(model, variables, rng):
     return dominant
 
 
+@pytest.mark.slow
 def test_composed_single_label_differential(ref_stack, res8_pair):
     """Leg 1: one-label sequence over a varied clip zoo (tones, noise,
     silence, exact-window / off-stride / short lengths) at thresholds 0 and
@@ -348,6 +349,7 @@ def test_composed_single_label_differential(ref_stack, res8_pair):
             assert not all(fired), "every clip fired — differential is vacuous"
 
 
+@pytest.mark.slow
 def test_composed_two_label_fsm_walk_differential(ref_stack, res8_pair):
     """Leg 2: a two-label FSM sequence walked by a composite two-tone clip —
     the full sequence_present state machine (ordering, tolerance, window

@@ -75,6 +75,7 @@ def lstm_pair(ref_stack):
     return torch_model, variables, model
 
 
+@pytest.mark.slow
 def test_composed_lstm_stateless_windows_differential(ref_stack, lstm_pair):
     """Default (parity): the full windowed composition for lstm against the
     STOCK reference FrameInferenceEngine — which scores every window with
@@ -95,6 +96,7 @@ def test_composed_lstm_stateless_windows_differential(ref_stack, lstm_pair):
             assert not all(fired), "every clip fired — differential is vacuous"
 
 
+@pytest.mark.slow
 def test_reference_lstm_streaming_state_is_noop(ref_stack, lstm_pair):
     """Empirical pin of the upstream bug that sets our parity default: the
     stock reference SimpleLstm's streaming_state property is the base-class
@@ -151,6 +153,7 @@ def carry_lstm_pair(ref_stack, lstm_pair):
     return carry_model, variables, model
 
 
+@pytest.mark.slow
 def test_composed_lstm_carry_windows_differential(ref_stack, carry_lstm_pair):
     """carry_windows=True vs the property-FIXED reference: hx threads
     through every window's LSTM on both sides (ref inference.py:257-261 +
@@ -280,6 +283,7 @@ def _drive_ref_whole_clip(ref, engine, clip: np.ndarray):
     return bool(fired), records
 
 
+@pytest.mark.slow
 def test_composed_seq_lstm_blank_skip_differential(ref_stack, seq_lstm_pair):
     """Whole-clip seq-lstm: per-frame posteriors, CTC blank frames skipped,
     clip_ms/T cadence, FSM — our WholeClipEngine equals the real reference

@@ -165,6 +165,7 @@ def test_generate_precise_dataset(tmp_path, monkeypatch):
     assert (out / "test" / "not-wake-word").exists()
 
 
+@pytest.mark.slow
 def test_generate_precise_dataset_noisy_layout(tmp_path, monkeypatch):
     """Noisy variants land in the reference's sibling layout
     (noisy-dev/wake-word etc. — precise tooling only recognizes the literal

@@ -73,7 +73,19 @@ _HEAD_LAYER = {
 }
 
 
-@pytest.mark.parametrize("name", ["res8", "lstm", "gru", "las", "mobilenet", "small-cnn"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "res8",
+        "small-cnn",
+        # the recurrent/large families compile for tens of seconds on the
+        # 1-CPU host: quick-loop keeps one static + one cheap family
+        pytest.param("lstm", marks=pytest.mark.slow),
+        pytest.param("gru", marks=pytest.mark.slow),
+        pytest.param("las", marks=pytest.mark.slow),
+        pytest.param("mobilenet", marks=pytest.mark.slow),
+    ],
+)
 def test_bf16_decision_parity_per_family(name, rng):
     """bf16-cast serving produces the same detections/labels as f32 for every
     static & recurrent family (the smoothing max absorbs sub-threshold drift).
@@ -119,7 +131,9 @@ def test_bf16_decision_parity_per_family(name, rng):
     np.testing.assert_array_equal(np.asarray(f32["labels"]), np.asarray(bf16["labels"]))
 
 
-@pytest.mark.parametrize("name", ["lstm", "mobilenet"])
+@pytest.mark.parametrize(
+    "name", ["lstm", pytest.param("mobilenet", marks=pytest.mark.slow)]
+)
 def test_bf16_training_smoke(name):
     """dtype=bf16 models train: finite loss, f32 params preserved."""
     import jax.numpy as jnp

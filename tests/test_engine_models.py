@@ -30,7 +30,9 @@ def _engine_for(name, num_labels=3, eval_stride_size_ms=125.0, **engine_kwargs):
     return StreamingEngine(model, variables, cfg, frontend, spec=model_spec(name), **engine_kwargs)
 
 
-@pytest.mark.parametrize("name", ["lstm", "gru"])
+@pytest.mark.parametrize(
+    "name", ["lstm", pytest.param("gru", marks=pytest.mark.slow)]
+)
 def test_recurrent_engine_carry_windows_opt_in(name, rng):
     """carry_windows=True threads RNN state across windows (the behavior the
     reference's engine plumbing INTENDS but silently never delivers for
@@ -83,6 +85,7 @@ def test_static_engine_windows_independent(rng):
     np.testing.assert_allclose(p1[:, -1], p2[:, -1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_las_engine_runs(rng):
     engine = _engine_for("las")
     assert not engine._use_pallas or jax.devices()[0].platform != "cpu"

@@ -288,6 +288,7 @@ def test_mozilla_kw_and_snips_loaders(tmp_path):
     assert train2.metadata_list[1].transcription == "negative words"
 
 
+@pytest.mark.slow
 def test_parallel_etl_matches_sequential(tmp_path):
     """VERDICT r3 #6: worker pools for writer / stats / TextGrid ingestion
     (ref dataset_writer.py:97-100, dataset.py:175-194,

@@ -88,6 +88,7 @@ def test_pallas_block_multiple_no_audio_pad(rng):
     np.testing.assert_allclose(out, ref, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pallas_extreme_overlap_falls_back(rng):
     """ceil(n_fft/hop) > FRAME_BLOCK routes to the jnp chain (guard path)."""
     from howl_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram

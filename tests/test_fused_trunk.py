@@ -191,6 +191,7 @@ def test_fused_trunk_with_timestretch_and_noise(tmp_path, monkeypatch):
     assert (tmp_path / "ws" / "model-best.flax").exists()
 
 
+@pytest.mark.slow
 def test_fused_infer_batch_matches_two_stage_path():
     """infer_batch runs scoring -> weights -> validity -> smoothing+FSM as ONE
     jitted dispatch; it must agree exactly with the cached-posterior path
@@ -225,6 +226,7 @@ def test_fused_infer_batch_matches_two_stage_path():
     np.testing.assert_array_equal(np.asarray(full["labels"]), np.asarray(explicit["labels"]))
 
 
+@pytest.mark.slow
 def test_threshold_sweep_one_dispatch_matches_loop():
     """infer_sweep_batch (one fused dispatch, thresholds vmapped over the FSM)
     must agree per-threshold with both the detect_from_scores loop and the

@@ -122,6 +122,7 @@ def test_gru(feats):
     assert out.shape == (BATCH, 3)
 
 
+@pytest.mark.slow
 def test_las_uses_all_channels(feats):
     from howl_tpu.models import create_model
 
@@ -144,6 +145,7 @@ def test_res8_ignores_delta_channels(feats):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mobilenet(feats):
     from howl_tpu.models import create_model
 

@@ -62,6 +62,7 @@ def test_short_clips_are_tiled(tmp_path):
     np.testing.assert_array_equal(bank[0, :1600], bank[0, 1600:3200])
 
 
+@pytest.mark.slow
 def test_set_bank_swaps_without_recompile(tmp_path):
     from howl_tpu.models import create_model
     from howl_tpu.ops.augment import AugmentConfig

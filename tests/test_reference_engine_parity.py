@@ -205,6 +205,7 @@ def _compare_all(ref_engine, cfg, probs, times, check_offset_is_stride, trial):
     np.testing.assert_array_equal(d_fired, r_fired, err_msg=f"device fire vs reference (trial {trial})")
 
 
+@pytest.mark.slow
 def test_word_mode_differential(ref):
     """Random configs x random posterior sequences, word mode: per-step labels
     (_get_prediction semantics incl. smoothing max-pool + threshold) and fire
@@ -233,6 +234,7 @@ def test_word_mode_differential(ref):
         _compare_all(engine, cfg, probs, times, check_offset_is_stride=True, trial=trial)
 
 
+@pytest.mark.slow
 def test_word_mode_whole_clip_cadence(ref):
     """The whole-clip engine consults the FSM at t (not t + stride),
     ref inference.py:201-208."""
@@ -258,6 +260,7 @@ def test_word_mode_whole_clip_cadence(ref):
         _compare_all(engine, cfg, probs, times, check_offset_is_stride=False, trial=trial)
 
 
+@pytest.mark.slow
 def test_blank_label_skip_differential(ref):
     """CTC mode: frames whose argmax is [BLANK] are skipped without touching
     either history (ref inference.py:204-207)."""
@@ -285,6 +288,7 @@ def test_blank_label_skip_differential(ref):
         _compare_all(engine, cfg, probs, times, check_offset_is_stride=True, trial=trial)
 
 
+@pytest.mark.slow
 def test_phone_mode_coloring_differential(ref, tmp_path, monkeypatch):
     """Phone mode: the smoothed phone argmax maps through LabelColoring to a
     word color; the negative label itself is COLORED before use as the

@@ -355,6 +355,7 @@ def test_demo_streams_cli(trained_ws, monkeypatch, capsys):
     assert "wakeword detected on streams [0]" in capsys.readouterr().out
 
 
+@pytest.mark.slow  # shares the trained_ws fixture (multi-epoch training)
 def test_server_rejects_whole_window_engine(trained_ws, monkeypatch):
     ws, corpus, env = trained_ws
     for k, v in env.items():

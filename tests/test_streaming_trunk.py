@@ -172,6 +172,7 @@ def test_trunk_schedule_fuzz():
     assert built >= 50, f"fuzz grid mostly failed to build ({built})"
 
 
+@pytest.mark.slow
 def test_blocked_prefill_matches_single_block(rng):
     """prefill_block < num_streams must produce the same caches (prefill is
     per-stream; blocking only caps the trunk_intermediates transient — XLA
@@ -312,6 +313,7 @@ def test_hop_blocked_validation():
         )
 
 
+@pytest.mark.slow
 def test_hop_blocked_chained_runner_matches_push(rng):
     """make_chained_runner on a blocked engine reproduces push() exactly."""
     from howl_tpu.inference.streaming_trunk import FusedStreamingOnlineEngine, make_chained_runner
