@@ -73,6 +73,14 @@ def main(argv=None):
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
         compute_dtype=compute_dtype, use_pallas_frontend=False,
     )
+    # round-5 serving default: pallas frontend + fused pallas stem — the
+    # same-session A/B against `engine` isolates the stem's full-step effect
+    # from the ~5-12% day-to-day chip variance that headline reruns carry.
+    engine_stem = StreamingEngine(
+        model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
+        compute_dtype=compute_dtype, use_pallas_frontend=on_tpu,
+        use_pallas_stem=on_tpu,
+    )
     n_win = engine.n_windows(clip_samples)
     iters = args.iters
 
@@ -128,6 +136,7 @@ def main(argv=None):
         return out["detected"].astype(jnp.float32)
 
     timed("full fused step (pallas frontend)", partial(full_step, eng=engine), audio)
+    timed("full fused step (pallas frontend + stem)", partial(full_step, eng=engine_stem), audio)
     timed("full fused step (xla frontend)", partial(full_step, eng=engine_xla), audio)
 
     # frontend alone
