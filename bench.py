@@ -225,9 +225,15 @@ def main():
     # VMEM — the measured trunk hot spot (~3.6 of 5.87 ms at ~1.5% MFU) runs
     # in ~2.25 ms; decision equality vs the f32 oracle validated on hardware
     # (tools/validate_tpu_decisions.py res8+pallas+stem)
+    # + the int8 residual stack (ops/int8_trunk.py): s8xs8->s32 convs with
+    # static calibrated activation scales — in-step 9.63 -> 9.43 ms
+    # (tools/ablate_serving_slope.py), decisions equal the f32 oracle on
+    # hardware (validate_tpu_decisions.py res8+pallas+stem+int8) and a
+    # trained model (tests/test_int8_trunk.py)
     engine = StreamingEngine(
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
         compute_dtype=compute_dtype, use_pallas_frontend=on_tpu, use_pallas_stem=on_tpu,
+        use_int8_trunk=on_tpu, int8_calibration_audio=audio[:64] if on_tpu else None,
     )
     legacy = StreamingEngine(
         model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),

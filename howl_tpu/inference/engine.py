@@ -65,6 +65,8 @@ class StreamingEngine:
         dft_precision="auto",
         carry_windows: bool = False,
         use_pallas_stem: bool = False,
+        use_int8_trunk: bool = False,
+        int8_calibration_audio=None,
     ):
         """``compute_dtype=jnp.bfloat16`` casts features and model parameters
         for scoring — roughly doubles MXU conv throughput on TPU; posteriors
@@ -97,12 +99,25 @@ class StreamingEngine:
         score as ONE mega-batch instead of a sequential window scan.
 
         ``use_pallas_stem`` (trunk models only) runs the conv0+relu+avgpool
-        stem as the fused Pallas kernel (ops/stem_pallas.py) — the measured
-        trunk hot spot (~3.6 -> ~2.25 ms at batch 512 x 8 s on v5e); the
-        residual layers stay on XLA's conv emitter, which is already at the
-        45->128 padding floor. Decision equality validated on hardware
-        (tools/validate_tpu_decisions.py res8+pallas+stem); interpret-mode
-        parity on CPU (tests/test_stem_pallas.py)."""
+        stem as the fused Pallas kernel (ops/stem_pallas.py). Standalone the
+        kernel measures ~2.25 ms vs ~3.6 for the XLA stem PLUS the Pallas
+        path's relayout (batch 512 x 8 s on v5e) — but the same-session
+        full-step A/B (tools/ablate_serving_slope.py '+ stem' leg) shows the
+        real serving XLA path never pays that relayout: in-step the fused
+        stem is worth ~0.1 ms (9.695 -> 9.594 ms full step, ~1%). It stays
+        the recommended default because it is never slower and feeds from
+        the frontend's native tile layout. Decision equality validated on
+        hardware (tools/validate_tpu_decisions.py res8+pallas+stem);
+        interpret-mode parity on CPU (tests/test_stem_pallas.py).
+
+        ``use_int8_trunk`` (trunk models only, EXPERIMENTAL) runs the six
+        residual convolutions in s8 x s8 -> s32 with static per-layer
+        activation scales calibrated from ``int8_calibration_audio`` (a
+        (B, samples) f32 array of representative audio, REQUIRED — post-
+        training static quantization; ops/int8_trunk.py). Measured 2.16 ->
+        1.81 ms standalone at batch 512 x 8 s on v5e
+        (tools/bench_trunk_int8.py); validate decisions per deployment and
+        check the in-step A/B before production use."""
         from howl_tpu.inference.config import cast_compute_dtype
 
         self.model = model
@@ -167,6 +182,26 @@ class StreamingEngine:
             self._w0fold = jnp.asarray(w0, self.compute_dtype or jnp.float32)
             self._stem_interpret = jax.devices()[0].platform != "tpu"
             self._use_pallas_stem = True
+        # opt-in int8 residual stack (ops/int8_trunk.py): static post-
+        # training quantization — weights per-out-channel at build, per-layer
+        # activation scales calibrated from the caller's audio here, once.
+        self._int8_params = None
+        if use_int8_trunk and self.fused_trunk and self.spec.supports_trunk:
+            if int8_calibration_audio is None:
+                raise ValueError(
+                    "use_int8_trunk requires int8_calibration_audio: a "
+                    "(B, samples) f32 array of representative audio for "
+                    "static activation-scale calibration (ops/int8_trunk.py)"
+                )
+            from howl_tpu.ops.int8_trunk import (
+                calibrate_act_scales,
+                quantize_residual_trunk,
+            )
+
+            cal = jnp.asarray(np.asarray(int8_calibration_audio), jnp.float32)
+            s0 = jax.jit(lambda a: self._pooled_stem(self.variables, a))(cal)
+            act = calibrate_act_scales(s0.astype(jnp.float32), self.variables)
+            self._int8_params = quantize_residual_trunk(self.variables, act)
         self._score = self._build_scorer()
         self._geom_cache: dict = {}
         self._infer_fn = self._build_infer_fused()
@@ -212,6 +247,24 @@ class StreamingEngine:
             mel_tm = mel_tm.astype(self.compute_dtype)
         return mel_tm
 
+    def _pooled_stem(self, variables, audio: jnp.ndarray) -> jnp.ndarray:
+        """(B, samples) audio -> (B, T', F', maps) pooled stem activations,
+        via the fused Pallas stem when enabled, else the XLA stem — the
+        shared front half of the fused-trunk scorer and the int8 path's
+        calibration oracle (both must see the SAME tensor)."""
+        if self._use_pallas_stem:
+            from howl_tpu.ops.stem_pallas import res8_stem_pallas
+
+            mel_tm = self._featurize_tm(audio)  # (B, T, F)
+            return res8_stem_pallas(
+                mel_tm, self._w0fold,
+                n_mels=self.frontend.n_mels, ch=self.model.num_maps,
+                pool_t=self.model.pooling[0], pool_f=self.model.pooling[1],
+                interpret=self._stem_interpret,
+            )
+        feats = self._featurize(audio)  # (B, C, F, T)
+        return self.model.apply(variables, feats, method="stem_features")
+
     def _build_scorer(self):
         model, spec = self.model, self.spec
         wf, sf = self.window_frames, self.stride_frames
@@ -222,16 +275,15 @@ class StreamingEngine:
 
             @partial(jax.jit, static_argnames=("n_windows",))
             def score_fused(variables, audio, n_windows):
-                if self._use_pallas_stem:
-                    from howl_tpu.ops.stem_pallas import res8_stem_pallas
+                if self._int8_params is not None:
+                    from howl_tpu.ops.int8_trunk import residual_features_int8
 
-                    mel_tm = self._featurize_tm(audio)  # (B, T, F)
-                    s0 = res8_stem_pallas(
-                        mel_tm, self._w0fold,
-                        n_mels=self.frontend.n_mels, ch=model.num_maps,
-                        pool_t=model.pooling[0], pool_f=model.pooling[1],
-                        interpret=self._stem_interpret,
+                    s0 = self._pooled_stem(variables, audio)
+                    trunk = residual_features_int8(
+                        s0, self._int8_params, compute_dtype=self.compute_dtype
                     )
+                elif self._use_pallas_stem:
+                    s0 = self._pooled_stem(variables, audio)
                     trunk = model.apply(variables, s0, train=False, method="residual_features")
                 else:
                     feats = self._featurize(audio)  # (B, C, F, T)

@@ -61,12 +61,17 @@ class Res8(HowlModel):
 
     def trunk_features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """(B, C, F, T) features -> (B, T', F', maps) pre-mean trunk output."""
+        return self.residual_features(self.stem_features(x), train=train)
+
+    def stem_features(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, C, F, T) features -> (B, T', F', maps) pooled stem activations
+        (conv0 + relu + avg-pool) — the XLA stem alone, so serving modes that
+        replace only the residual stack (ops/int8_trunk.py) can reuse it."""
         x = self._mels_only_nhwc(x)  # (B, T, F, 1)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         y = nn.relu(self.conv0(x))
-        y = nn.avg_pool(y, self.pooling, strides=self.pooling)
-        return self.residual_features(y, train=train)
+        return nn.avg_pool(y, self.pooling, strides=self.pooling)
 
     def residual_features(self, y: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Pooled stem activations (B, T', F', maps) -> trunk output. Split

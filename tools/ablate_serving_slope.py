@@ -81,6 +81,15 @@ def main(argv=None):
         compute_dtype=compute_dtype, use_pallas_frontend=on_tpu,
         use_pallas_stem=on_tpu,
     )
+    # int8 residual candidate (ops/int8_trunk.py): standalone it measured
+    # 2.16 -> 1.81 ms (tools/bench_trunk_int8.py); this leg answers whether
+    # the win survives in-step — the stem episode says never assume it does.
+    engine_int8 = StreamingEngine(
+        model, variables, cfg, frontend, 0.0, 1.0, spec=model_spec("res8"),
+        compute_dtype=compute_dtype, use_pallas_frontend=on_tpu,
+        use_pallas_stem=on_tpu, use_int8_trunk=True,
+        int8_calibration_audio=np.asarray(jax.device_get(audio)),
+    )
     n_win = engine.n_windows(clip_samples)
     iters = args.iters
 
@@ -137,6 +146,7 @@ def main(argv=None):
 
     timed("full fused step (pallas frontend)", partial(full_step, eng=engine), audio)
     timed("full fused step (pallas frontend + stem)", partial(full_step, eng=engine_stem), audio)
+    timed("full fused step (pallas frontend + stem + int8)", partial(full_step, eng=engine_int8), audio)
     timed("full fused step (xla frontend)", partial(full_step, eng=engine_xla), audio)
 
     # frontend alone

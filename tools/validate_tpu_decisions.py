@@ -98,6 +98,16 @@ def main():
                 use_pallas_frontend=True, use_pallas_stem=True,
             )
             compare("res8+pallas+stem", a, stem.infer_batch(audio))
+            # the int8 residual-trunk candidate (ops/int8_trunk.py) on top of
+            # the headline configuration — static activation scales
+            # calibrated on the SAME clips it scores (the best case; a real
+            # deployment calibrates on held-out audio and must re-validate)
+            i8 = StreamingEngine(
+                model, variables, cfg, frontend, spec=spec, compute_dtype=jnp.bfloat16,
+                use_pallas_frontend=True, use_pallas_stem=True,
+                use_int8_trunk=True, int8_calibration_audio=audio,
+            )
+            compare("res8+pallas+stem+int8", a, i8.infer_batch(audio))
             # the hop-incremental online engines at their serving precisions:
             # 1-pass bf16 DFT (the auto default since the round-4 flip) vs the
             # SAME engine class pinned to exact HIGHEST. NB: the baseline must
