@@ -158,3 +158,35 @@ def test_int8_decisions_equal_f32_on_trained_model():
         np.asarray(a["first_fire_step"]), np.asarray(b["first_fire_step"])
     )
     np.testing.assert_array_equal(np.asarray(a["labels"]), np.asarray(b["labels"]))
+
+
+@pytest.mark.slow
+def test_int8_engine_sharded_over_data_axis(rng):
+    """int8 trunk params are replicated constants inside the jitted scorer —
+    GSPMD-sharded batches must produce identical decisions to single-device
+    (mirrors tests/test_multichip_inference.py for the int8 mode)."""
+    from howl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    assert len(jax.devices()) >= 8  # conftest's virtual CPU mesh
+    model, variables = _init_model()
+    cfg = EngineConfig(
+        inference_sequence=(0, 1), max_window_size_ms=500.0,
+        eval_stride_size_ms=125.0, negative_label=2, num_labels=3,
+    )
+    frontend = FrontendConfig(n_mels=40)
+    audio = (rng.standard_normal((16, 16000)) * 0.1).astype(np.float32)
+    engine = StreamingEngine(
+        model, variables, cfg, frontend, spec=model_spec("res8"),
+        use_int8_trunk=True, int8_calibration_audio=audio,
+    )
+    base = engine.infer_batch(audio)
+    base_detected = np.asarray(base["detected"])
+    base_probs = np.asarray(base["probs"])
+
+    mesh = make_mesh(data=8)
+    engine.variables = replicate(engine.variables, mesh)
+    (sharded_audio,) = shard_batch((audio,), mesh)
+    out = engine.infer_batch(sharded_audio)
+    np.testing.assert_array_equal(np.asarray(out["detected"]), base_detected)
+    np.testing.assert_allclose(np.asarray(out["probs"]), base_probs, atol=1e-5)
+    assert len(out["probs"].sharding.device_set) == 8
