@@ -138,7 +138,25 @@ class _GoldenStd:
         return self.torch.from_numpy(mels[:, None].copy())  # (1, 1, F, T)
 
 
-def _build_ref_engine(ref, cfg, frontend, torch_model, zmuv_mean, zmuv_mean2):
+class _GoldenStdStacked(_GoldenStd):
+    """3-channel variant for models that consume the (log-mels, Δ, ΔΔ) stack
+    (las — models/rnn.py uses_deltas=True): the reference's
+    StandardAudioTransform stacks deltas on the channel dim BEFORE ZMUV
+    (ref howl/data/transform/transform.py:280); ``stacked=True`` is
+    howl_tpu's golden-validated twin of that stack."""
+
+    def __call__(self, frame):
+        from howl_tpu.ops.frontend import log_mel_spectrogram
+
+        audio = np.asarray(frame.detach().cpu().numpy(), np.float32)  # (1, N)
+        feats = np.asarray(
+            log_mel_spectrogram(audio, self.frontend, stacked=True)
+        )  # (1, 3, F, T)
+        return self.torch.from_numpy(feats.copy())
+
+
+def _build_ref_engine(ref, cfg, frontend, torch_model, zmuv_mean, zmuv_mean2,
+                      std_cls=_GoldenStd):
     s = ref.settings.inference_engine
     s.inference_sequence = list(cfg.inference_sequence)
     s.inference_window_ms = cfg.inference_window_ms
@@ -155,7 +173,7 @@ def _build_ref_engine(ref, cfg, frontend, torch_model, zmuv_mean, zmuv_mean2):
     engine = ref.inference.FrameInferenceEngine(
         cfg.max_window_size_ms, cfg.eval_stride_size_ms, torch_model, zmuv, ctx
     )
-    engine.std = _GoldenStd(ref.torch, frontend)
+    engine.std = std_cls(ref.torch, frontend)
     return engine, ctx
 
 
@@ -232,7 +250,8 @@ def _our_engine(model, variables, cfg, **engine_kwargs):
     )
 
 
-def _compare_stacks(ref, torch_model, model, variables, cfg, clips, engine_kwargs=None):
+def _compare_stacks(ref, torch_model, model, variables, cfg, clips, engine_kwargs=None,
+                    std_cls=_GoldenStd):
     """The core differential: both stacks on the same clips/weights; asserts
     identical ingest counts, per-window labels, fire decisions, fire steps,
     and fire timestamps. Returns the per-clip fire decisions."""
@@ -240,7 +259,7 @@ def _compare_stacks(ref, torch_model, model, variables, cfg, clips, engine_kwarg
 
     engine = _our_engine(model, variables, cfg, **(engine_kwargs or {}))
     ref_engine, _ = _build_ref_engine(
-        ref, cfg, FrontendConfig(**_FRONTEND_KW), torch_model, *_ZMUV
+        ref, cfg, FrontendConfig(**_FRONTEND_KW), torch_model, *_ZMUV, std_cls=std_cls
     )
 
     max_len = max(c.shape[0] for c in clips)

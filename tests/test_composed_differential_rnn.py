@@ -20,6 +20,17 @@ STATELESS per window in practice. Three tests pin the full picture:
     reference run with the property FIXED (the behavior its engine code
     intends) — the state-carry x stride seam, pinned end to end.
 
+Legs C/D — windowed gru and las: unlike SimpleLstm, whose forward at least
+branches on ``is_streaming`` (ref rnn.py:84-89), SimpleGru and LASClassifier
+never touch streaming state at all (ref rnn.py:107-130, 206-222), so the
+stateless windowed composition is their ONLY reference behavior. Each gets
+the same full audio→decision differential as leg A's default (gru pins the
+conv-encoder x packed-GRU x lengths(+4, maxpool-halved) seam; las pins the
+3-channel delta stack x biLSTM x length-masked attention seam — las is the
+one family whose engine features are the (log-mels, Δ, ΔΔ) stack, so its
+leg drives the reference through ``_GoldenStdStacked``) plus one empirical
+is_streaming-toggle no-op pin.
+
 Leg B — whole-clip + CTC blank skipping (seq-lstm): the reference pairs
 sequential models with ``InferenceEngine.infer`` (ref inference.py:178-212):
 one whole-clip forward, per-frame posteriors at the clip_ms/T cadence,
@@ -51,6 +62,7 @@ from tests.test_composed_differential import (  # noqa: F401 — ref_stack fixtu
     _our_engine,
     _tone_clip,
     _GoldenStd,
+    _GoldenStdStacked,
     ref_stack,
 )
 
@@ -372,3 +384,115 @@ def _compare_whole_clip(ref_stack, ref_engine, engine, clips):
             delta = float(int(clip.shape[0] / 16000 * 1000)) / t_scored
             assert ref_engine.curr_time == pytest.approx((first_fire + 1) * delta, rel=1e-6)
     return fired_all, any_blank_skipped
+
+
+# ------------------------------------------------------- legs C/D: gru & las
+
+
+@pytest.fixture(scope="module")
+def gru_pair(ref_stack):
+    """Reference torch SimpleGru (conv encoder + packed GRU + MLP,
+    ref rnn.py:94-130) + converted flax variables + our model."""
+    from howl.model.rnn import SimpleGru as RefSimpleGru
+
+    from howl_tpu.compat import torch_state_to_variables
+    from howl_tpu.models import create_model
+
+    torch = ref_stack.torch
+    torch.manual_seed(20260821)
+    torch_model = RefSimpleGru(4).eval().streaming()
+    variables = torch_state_to_variables("gru", torch_model.state_dict())
+    model = create_model("gru", num_labels=4)
+    return torch_model, variables, model
+
+
+@pytest.fixture(scope="module")
+def las_pair(ref_stack):
+    """Reference torch LASClassifier (conv+biLSTM encoder, fixed attention,
+    ref rnn.py:194-222) + converted flax variables + our model. The only
+    family whose features are the 3-channel (log-mels, Δ, ΔΔ) stack."""
+    from howl.model.rnn import LASClassifier as RefLAS
+
+    from howl_tpu.compat import torch_state_to_variables
+    from howl_tpu.models import create_model
+
+    torch = ref_stack.torch
+    torch.manual_seed(20260820)
+    torch_model = RefLAS(4).eval().streaming()
+    variables = torch_state_to_variables("las", torch_model.state_dict())
+    model = create_model("las", num_labels=4)
+    return torch_model, variables, model
+
+
+def _windowed_differential(ref_stack, pair, std_cls=_GoldenStd):
+    """Leg-A-shaped differential body shared by gru and las: calibrate a
+    steering label, then assert full label/decision/step/timestamp equality
+    at two thresholds with fire/no-fire non-vacuity at threshold 0."""
+    torch_model, variables, model = pair
+    rng = np.random.default_rng(77)
+    dominant = _calibrate_tone_labels(model, variables, rng)
+    seq_label = next((l for l in dominant.values() if l != 3), None)
+    assert seq_label is not None, f"calibration found only negative labels: {dominant}"
+
+    clips = _make_clips(np.random.default_rng(77))
+    for threshold in (0.0, 0.35):
+        fired = _compare_stacks(
+            ref_stack, torch_model, model, variables,
+            _base_cfg(inference_sequence=(seq_label,), inference_threshold=threshold),
+            clips, std_cls=std_cls,
+        )
+        if threshold == 0.0:
+            assert any(fired), "no clip fired — differential is vacuous"
+            assert not all(fired), "every clip fired — differential is vacuous"
+
+
+@pytest.mark.slow
+def test_composed_gru_windowed_differential(ref_stack, gru_pair):
+    """Full windowed composition for gru against the stock reference
+    FrameInferenceEngine — the conv-encoder x packed-GRU x lengths(+4,
+    maxpool-halved, ref rnn.py:117-126) seam, pinned end to end."""
+    _windowed_differential(ref_stack, gru_pair)
+
+
+@pytest.mark.slow
+def test_composed_las_windowed_differential(ref_stack, las_pair):
+    """Full windowed composition for las against the stock reference
+    FrameInferenceEngine, driven through the 3-channel delta stack
+    (_GoldenStdStacked — ref transform.py:280 stacks deltas pre-ZMUV):
+    the delta-stack x biLSTM x length-masked-attention seam."""
+    _windowed_differential(ref_stack, las_pair, std_cls=_GoldenStdStacked)
+
+
+@pytest.mark.slow
+def test_reference_gru_las_streaming_state_is_noop(ref_stack, gru_pair, las_pair):
+    """Empirical pin of the stateless default for the remaining windowed
+    recurrent families: SimpleGru and LASClassifier never read streaming
+    state in forward (ref rnn.py:107-130, 206-222) and inherit the no-op
+    streaming_state property (ref base.py:31-36) — toggling is_streaming
+    changes nothing, so the stateless parity default applies zoo-wide."""
+    from howl_tpu.ops.frontend import FrontendConfig
+
+    from tests.test_composed_differential import _build_ref_engine
+
+    cfg = _base_cfg(inference_sequence=())  # never fires: score every window
+    clips = _make_clips(np.random.default_rng(77))[:2]
+    for (torch_model, _v, _m), std_cls in (
+        (gru_pair, _GoldenStd), (las_pair, _GoldenStdStacked)
+    ):
+        torch_model.streaming_state = ("anything", "at all")
+        assert torch_model.streaming_state is None  # setter is the base no-op
+        engine, _ = _build_ref_engine(
+            ref_stack, cfg, FrontendConfig(**_FRONTEND_KW), torch_model, *_ZMUV,
+            std_cls=std_cls,
+        )
+        for clip in clips:
+            _, rec_streaming = _drive_ref(ref_stack, engine, clip)
+            torch_model.is_streaming = False
+            try:
+                _, rec_stateless = _drive_ref(ref_stack, engine, clip)
+            finally:
+                torch_model.is_streaming = True
+            assert rec_streaming == rec_stateless, (
+                f"stock reference {type(torch_model).__name__} windows are NOT "
+                "stateless — the no-op property assumption is wrong"
+            )
