@@ -171,7 +171,16 @@ class StreamingEngine:
         # (replication/sharding keeps the same values) does not re-fold.
         self._use_pallas_stem = False
         self._w0fold = None
-        if use_pallas_stem and self.fused_trunk and self.spec.supports_trunk:
+        trunk_active = self.fused_trunk and self.spec.supports_trunk
+        if (use_pallas_stem or use_int8_trunk) and not trunk_active:
+            # never silently serve something other than what was asked for
+            raise ValueError(
+                "use_pallas_stem/use_int8_trunk apply to the fused-trunk "
+                "scorer only (trunk-capable model + fused_trunk enabled); "
+                f"got fused_trunk={self.fused_trunk}, "
+                f"model={self.spec.name!r} (supports_trunk={self.spec.supports_trunk})"
+            )
+        if use_pallas_stem:
             from howl_tpu.ops.stem_pallas import fold_stem_weights
 
             kernel = np.asarray(
@@ -186,7 +195,7 @@ class StreamingEngine:
         # training quantization — weights per-out-channel at build, per-layer
         # activation scales calibrated from the caller's audio here, once.
         self._int8_params = None
-        if use_int8_trunk and self.fused_trunk and self.spec.supports_trunk:
+        if use_int8_trunk:
             if int8_calibration_audio is None:
                 raise ValueError(
                     "use_int8_trunk requires int8_calibration_audio: a "

@@ -75,6 +75,27 @@ def test_engine_requires_calibration_audio():
         )
 
 
+def test_trunk_kernel_flags_refuse_non_trunk_configs():
+    """use_int8_trunk / use_pallas_stem only exist on the fused-trunk
+    scorer; asking for them anywhere else must raise, never silently serve
+    the float path (the config-consumption rule the AST tripwire enforces
+    for CLI flags, applied to engine kwargs)."""
+    model, variables = _init_model()
+    cfg = EngineConfig(
+        inference_sequence=(0, 1), max_window_size_ms=500.0,
+        eval_stride_size_ms=62.5, negative_label=2, num_labels=3,
+    )
+    for kwargs in (
+        {"use_int8_trunk": True, "int8_calibration_audio": np.zeros((1, 8000), np.float32)},
+        {"use_pallas_stem": True},
+    ):
+        with pytest.raises(ValueError, match="fused-trunk"):
+            StreamingEngine(
+                model, variables, cfg, FrontendConfig(n_mels=40), 0.0, 1.0,
+                spec=model_spec("res8"), fused_trunk=False, **kwargs,
+            )
+
+
 def _tone(freq, n, key):
     t = np.arange(n) / SR
     j = np.random.default_rng(key)
