@@ -52,7 +52,13 @@ def test_online_engine_multi_stream():
     fired = engine.ingest(windows)
     assert isinstance(fired, bool)
     assert engine.state.pred_ring.shape[0] == 3  # per-stream state
+    # per-stream surface of the last ingest (same shape contract as the
+    # per-hop engines; the hardware A/B tool reads these)
+    assert np.asarray(engine.last_labels).shape == (3,)
+    assert np.asarray(engine.last_fired).shape == (3,)
+    assert fired == bool(np.asarray(engine.last_fired).any())
     engine.reset()
+    assert engine.last_labels is None and engine.last_fired is None
     assert float(np.asarray(engine.state.pred_times).max()) < -1e28  # cleared
 
 
