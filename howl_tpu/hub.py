@@ -38,46 +38,14 @@ PRETRAINED_MODELS = {
 }
 
 
-def load_workspace_engine(
-    workspace_path,
-    model_name: Optional[str] = None,
-    best: bool = True,
-    num_streams: int = 1,
-    incremental: bool = False,
-    streaming_trunk: bool = False,
-    hop_block: int = 1,
-    auto: bool = False,
-    strict_capacity: bool = False,
-) -> Tuple[OnlineEngine, InferenceContext]:
-    """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84).
+def _load_workspace_stack(workspace_path, model_name: Optional[str], best: bool):
+    """Shared loader: workspace dir (native or reference torch) -> the full
+    inference stack (model, spec, variables, cfg, frontend, zmuv, ctx).
 
-    ``incremental=True`` returns an IncrementalOnlineEngine instead: it keeps
-    a mel-frame ring in device state and featurizes only each hop's new audio
-    (HowlClient supports both transparently). ``streaming_trunk=True``
-    (res8-family only) returns a FusedStreamingOnlineEngine: per-layer trunk
-    caches compute only each hop's new trunk frames — the cheapest per-step
-    path, scoring exactly like the offline fused-trunk engine, with a
-    ``schedule.lag``-hop (250 ms at defaults) decision delay. ``hop_block>1``
-    (streaming_trunk only, a multiple of the engine's schedule period) scores
-    that many hops per device step — same per-hop decisions, observed at the
-    block boundary; the bulk/capacity serving mode.
-
-    ``auto=True`` ignores the engine flags and picks the lowest-decision-
-    latency engine that sustains ``num_streams`` on one chip (the measured
-    step-time model in inference/capacity.py); it raises CapacityError when
-    nothing fits single-chip. Explicit configurations are ALWAYS capacity-
-    checked: an unsustainable one emits a CapacityWarning (or raises, with
-    ``strict_capacity=True``) instead of silently accumulating underruns."""
-    # flag validation up front — model build + weight load below can take
-    # seconds (minutes through the TPU relay); don't do it for a bad call
-    if auto and (incremental or streaming_trunk or hop_block != 1):
-        raise ValueError("auto=True selects the engine; don't also pass engine flags")
-    if streaming_trunk and incremental:
-        raise ValueError(
-            "streaming_trunk and incremental select different engines — pass exactly one"
-        )
-    if hop_block != 1 and not streaming_trunk:
-        raise ValueError("hop_block requires streaming_trunk=True")
+    Everything both hub entry points need before choosing an engine class:
+    settings snapshot, InferenceContext, ZMUV stats, model build (+ the
+    convert_static wrapper when the workspace was trained that way), and the
+    checkpoint grafted onto the init template."""
     path = Path(workspace_path)
     ref_by_best = ref_zmuv = None
     from howl_tpu import compat
@@ -152,6 +120,52 @@ def load_workspace_engine(
         variables = workspace.load_model(variables, best=best)
 
     cfg = EngineConfig.from_settings(ctx)
+    return model, spec, variables, cfg, frontend, zmuv, ctx
+
+
+def load_workspace_engine(
+    workspace_path,
+    model_name: Optional[str] = None,
+    best: bool = True,
+    num_streams: int = 1,
+    incremental: bool = False,
+    streaming_trunk: bool = False,
+    hop_block: int = 1,
+    auto: bool = False,
+    strict_capacity: bool = False,
+) -> Tuple[OnlineEngine, InferenceContext]:
+    """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84).
+
+    ``incremental=True`` returns an IncrementalOnlineEngine instead: it keeps
+    a mel-frame ring in device state and featurizes only each hop's new audio
+    (HowlClient supports both transparently). ``streaming_trunk=True``
+    (res8-family only) returns a FusedStreamingOnlineEngine: per-layer trunk
+    caches compute only each hop's new trunk frames — the cheapest per-step
+    path, scoring exactly like the offline fused-trunk engine, with a
+    ``schedule.lag``-hop (250 ms at defaults) decision delay. ``hop_block>1``
+    (streaming_trunk only, a multiple of the engine's schedule period) scores
+    that many hops per device step — same per-hop decisions, observed at the
+    block boundary; the bulk/capacity serving mode.
+
+    ``auto=True`` ignores the engine flags and picks the lowest-decision-
+    latency engine that sustains ``num_streams`` on one chip (the measured
+    step-time model in inference/capacity.py); it raises CapacityError when
+    nothing fits single-chip. Explicit configurations are ALWAYS capacity-
+    checked: an unsustainable one emits a CapacityWarning (or raises, with
+    ``strict_capacity=True``) instead of silently accumulating underruns."""
+    # flag validation up front — model build + weight load below can take
+    # seconds (minutes through the TPU relay); don't do it for a bad call
+    if auto and (incremental or streaming_trunk or hop_block != 1):
+        raise ValueError("auto=True selects the engine; don't also pass engine flags")
+    if streaming_trunk and incremental:
+        raise ValueError(
+            "streaming_trunk and incremental select different engines — pass exactly one"
+        )
+    if hop_block != 1 and not streaming_trunk:
+        raise ValueError("hop_block requires streaming_trunk=True")
+    model, spec, variables, cfg, frontend, zmuv, ctx = _load_workspace_stack(
+        workspace_path, model_name, best
+    )
     if auto:
         from howl_tpu.inference.capacity import recommend
 
@@ -197,6 +211,50 @@ def load_workspace_engine(
         spec=spec,
         num_streams=num_streams,
         **extra,
+    )
+    return engine, ctx
+
+
+def load_workspace_streaming_engine(
+    workspace_path,
+    model_name: Optional[str] = None,
+    best: bool = True,
+    **engine_kwargs,
+):
+    """Workspace dir -> (offline StreamingEngine, InferenceContext).
+
+    The batch/offline counterpart to :func:`load_workspace_engine`: same
+    workspace resolution (native or reference torch layout, docs/MIGRATION.md)
+    but returns the whole-clip ``StreamingEngine`` (FrameInferenceEngine
+    parity, ref howl/model/inference.py:203-248) instead of a per-hop online
+    engine. ``engine_kwargs`` pass straight through to ``StreamingEngine`` —
+    this is the one-call route to the offline precision ladder documented in
+    docs/SERVING.md (``compute_dtype=jnp.bfloat16``, ``use_pallas_frontend``,
+    ``use_pallas_stem``, ``use_int8_trunk`` + ``int8_calibration_audio``,
+    ``dft_precision``, ``fused_trunk``, ``carry_windows``) without hand-wiring
+    the engine from an online engine's internals::
+
+        engine, ctx = hub.load_workspace_streaming_engine(
+            "workspaces/hey-ff", compute_dtype=jnp.bfloat16,
+            use_pallas_frontend=True, use_pallas_stem=True)
+        fired = engine.infer_batch(clips)   # (B, samples) -> (B,) fire flags
+
+    No capacity guardrail applies: offline scoring has no cadence to miss
+    (throughput scales with batch; see docs/PERFORMANCE.md)."""
+    from howl_tpu.inference.engine import StreamingEngine
+
+    model, spec, variables, cfg, frontend, zmuv, ctx = _load_workspace_stack(
+        workspace_path, model_name, best
+    )
+    engine = StreamingEngine(
+        model,
+        variables,
+        cfg,
+        frontend,
+        zmuv.mean,
+        zmuv.std,
+        spec=spec,
+        **engine_kwargs,
     )
     return engine, ctx
 

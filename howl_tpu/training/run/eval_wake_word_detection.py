@@ -48,17 +48,11 @@ def sweep_workspace(workspace_path: Path, model_name: str, dataset_paths, thresh
     """
     from howl_tpu.data.dataset.dataset import DatasetSplit, DatasetType, WakeWordDataset
     from howl_tpu.data.dataset.dataset_loader import RecursiveNoiseDatasetLoader, WakeWordDatasetLoader
-    from howl_tpu.hub import load_workspace_engine
-    from howl_tpu.inference.engine import StreamingEngine
-    from howl_tpu.models.base import model_spec
+    from howl_tpu.hub import load_workspace_streaming_engine
     from howl_tpu.training.run.train import BatchedEvaluator, build_noise_bank
     from howl_tpu.utils import hash_utils
 
-    online, ctx = load_workspace_engine(workspace_path, model_name)
-    engine = StreamingEngine(
-        online.model, online.variables, online.cfg, online.frontend,
-        online.zmuv_mean, online.zmuv_std, spec=model_spec(model_name),
-    )
+    engine, ctx = load_workspace_streaming_engine(workspace_path, model_name)
     # eval batches split over all devices' data axis (padding handles ragged
     # final batches); identical results to single-device (test_train_dp.py)
     from howl_tpu.parallel.mesh import make_mesh

@@ -323,3 +323,53 @@ def test_import_requires_model_name_without_cmd_args(tmp_path, ref_res8):
     # explicit name works without cmd-args.json
     ws = import_reference_workspace(src, tmp_path / "named", model_name="res8")
     assert ws.model_path(best=True).exists()
+
+
+def test_hub_offline_streaming_engine_serves_reference_workspace(tmp_path, ref_res8):
+    """hub.load_workspace_streaming_engine: the one-call offline route
+    (docs/SERVING.md precision ladder) from a RAW reference torch workspace.
+    Decisions must equal an engine hand-wired from the online loader's stack
+    (the construction eval_wake_word_detection used before this entry point),
+    and engine kwargs must pass through to StreamingEngine."""
+    torch, Res8 = ref_res8
+    import jax.numpy as jnp
+
+    from howl_tpu import hub
+    from howl_tpu.inference.engine import StreamingEngine
+
+    src, _ = _make_reference_workspace(tmp_path, torch, Res8)
+    engine, ctx = hub.load_workspace_streaming_engine(src)
+    assert isinstance(engine, StreamingEngine)
+    assert ctx.num_labels == 4
+
+    rng = np.random.default_rng(5)
+    clips = (rng.standard_normal((3, 16000)) * 0.1).astype(np.float32)
+    out = engine.infer_batch(clips)
+
+    online, _ = hub.load_workspace_engine(src, num_streams=1)
+    hand = StreamingEngine(
+        online.model, online.variables, online.cfg, online.frontend,
+        online.zmuv_mean, online.zmuv_std, spec=engine.spec,
+    )
+    ref_out = hand.infer_batch(clips)
+    np.testing.assert_array_equal(
+        np.asarray(out["detected"]), np.asarray(ref_out["detected"])
+    )
+
+    # kwargs flow through to the engine: the bf16 + legacy-window rungs
+    bf16, _ = hub.load_workspace_streaming_engine(
+        src, compute_dtype=jnp.bfloat16, fused_trunk=False
+    )
+    assert bf16.compute_dtype == jnp.bfloat16
+    assert not bf16.fused_trunk
+
+    # the NATIVE-workspace branch (what sweep_workspace serves after
+    # import_workspace): same weights -> identical decisions
+    from howl_tpu.compat import import_reference_workspace
+
+    ws = import_reference_workspace(src, tmp_path / "native_ws")
+    native, _ = hub.load_workspace_streaming_engine(ws.path)
+    native_out = native.infer_batch(clips)
+    np.testing.assert_array_equal(
+        np.asarray(out["detected"]), np.asarray(native_out["detected"])
+    )
