@@ -133,8 +133,14 @@ def load_workspace_engine(
     hop_block: int = 1,
     auto: bool = False,
     strict_capacity: bool = False,
+    carry_hops: bool = False,
 ) -> Tuple[OnlineEngine, InferenceContext]:
     """Workspace dir -> (OnlineEngine, InferenceContext) (ref hubconf.py:33-84).
+
+    ``carry_hops=True`` (recurrent models only) threads RNN state across
+    hops; the default scores each hop's window from fresh zero state —
+    the reference's actual live behavior and the offline engines' default,
+    so offline-tuned thresholds transfer (see OnlineEngine.__init__).
 
     ``incremental=True`` returns an IncrementalOnlineEngine instead: it keeps
     a mel-frame ring in device state and featurizes only each hop's new audio
@@ -176,6 +182,11 @@ def load_workspace_engine(
         incremental = bool(kwargs.get("incremental", False))
         streaming_trunk = bool(kwargs.get("streaming_trunk", False))
         hop_block = int(kwargs.get("hop_block", 1))
+    if carry_hops and streaming_trunk:
+        raise ValueError(
+            "carry_hops applies to recurrent models on the window-scoring "
+            "engines; the streaming-trunk engine serves the res8 family only"
+        )
     # capacity guardrail: the serving loop never recovers from a step that
     # exceeds the hop budget, so flag it at build time (BENCH_r03: 65,536
     # incremental streams step at p99 104 ms against 62.5)
@@ -201,6 +212,9 @@ def load_workspace_engine(
 
         engine_cls = IncrementalOnlineEngine
     extra = {"hop_block": hop_block} if hop_block != 1 else {}
+    if carry_hops:
+        # validated above: never reaches the trunk engine, which has no carry
+        extra["carry_hops"] = True
     engine = engine_cls(
         model,
         variables,

@@ -167,8 +167,8 @@ class StreamingEngine:
         # the residual layers stay on XLA's conv emitter (2.28 ms, already
         # near the 45->128 padding floor — fused Pallas residual trunks
         # measured 3-8x slower and were rejected). conv0 weights are folded
-        # once at construction; reassigning engine.variables afterwards
-        # (replication/sharding keeps the same values) does not re-fold.
+        # once at construction; reassigning engine.variables re-folds (and
+        # re-quantizes the int8 tensors) via the variables property setter.
         self._use_pallas_stem = False
         self._w0fold = None
         trunk_active = self.fused_trunk and self.spec.supports_trunk
@@ -181,20 +181,14 @@ class StreamingEngine:
                 f"model={self.spec.name!r} (supports_trunk={self.spec.supports_trunk})"
             )
         if use_pallas_stem:
-            from howl_tpu.ops.stem_pallas import fold_stem_weights
-
-            kernel = np.asarray(
-                jax.device_get(self.variables["params"]["conv0"]["kernel"]), np.float32
-            )
-            pool = getattr(model, "pooling", (3, 4))
-            w0 = fold_stem_weights(kernel, n_mels=frontend.n_mels, pool_f=pool[1])
-            self._w0fold = jnp.asarray(w0, self.compute_dtype or jnp.float32)
             self._stem_interpret = jax.devices()[0].platform != "tpu"
             self._use_pallas_stem = True
+            self._fold_stem()
         # opt-in int8 residual stack (ops/int8_trunk.py): static post-
         # training quantization — weights per-out-channel at build, per-layer
         # activation scales calibrated from the caller's audio here, once.
         self._int8_params = None
+        self._int8_cal = None
         if use_int8_trunk:
             if int8_calibration_audio is None:
                 raise ValueError(
@@ -202,18 +196,49 @@ class StreamingEngine:
                     "(B, samples) f32 array of representative audio for "
                     "static activation-scale calibration (ops/int8_trunk.py)"
                 )
-            from howl_tpu.ops.int8_trunk import (
-                calibrate_act_scales,
-                quantize_residual_trunk,
-            )
-
-            cal = jnp.asarray(np.asarray(int8_calibration_audio), jnp.float32)
-            s0 = jax.jit(lambda a: self._pooled_stem(self.variables, a))(cal)
-            act = calibrate_act_scales(s0.astype(jnp.float32), self.variables)
-            self._int8_params = quantize_residual_trunk(self.variables, act)
+            self._int8_cal = jnp.asarray(np.asarray(int8_calibration_audio), jnp.float32)
+            self._requantize_int8()
         self._score = self._build_scorer()
         self._geom_cache: dict = {}
         self._infer_fn = self._build_infer_fused()
+
+    # ---- baked weights follow variables reassignment ----
+
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, value):
+        """The Pallas-stem fold and the int8 weight/scale tensors are DERIVED
+        from ``variables``; re-derive them on every reassignment so
+        ``engine.variables = ...`` (the replication/sharding pattern, e.g.
+        tests/test_int8_trunk.py) can never silently serve a mix of stale
+        baked tensors and new parameters. Replication keeps the same values,
+        so the re-derivation is a no-op there beyond its (construction-scale)
+        cost; a genuinely new checkpoint gets correct folds/scales."""
+        self._variables = value
+        if getattr(self, "_use_pallas_stem", False):
+            self._fold_stem()
+        if getattr(self, "_int8_cal", None) is not None:
+            self._requantize_int8()
+
+    def _fold_stem(self):
+        from howl_tpu.ops.stem_pallas import fold_stem_weights
+
+        kernel = np.asarray(
+            jax.device_get(self._variables["params"]["conv0"]["kernel"]), np.float32
+        )
+        pool = getattr(self.model, "pooling", (3, 4))
+        w0 = fold_stem_weights(kernel, n_mels=self.frontend.n_mels, pool_f=pool[1])
+        self._w0fold = jnp.asarray(w0, self.compute_dtype or jnp.float32)
+
+    def _requantize_int8(self):
+        from howl_tpu.ops.int8_trunk import calibrate_act_scales, quantize_residual_trunk
+
+        s0 = jax.jit(lambda a: self._pooled_stem(self._variables, a))(self._int8_cal)
+        act = calibrate_act_scales(s0.astype(jnp.float32), self._variables)
+        self._int8_params = quantize_residual_trunk(self._variables, act)
 
     # ---- scoring ----
 

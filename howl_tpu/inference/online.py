@@ -99,7 +99,18 @@ class OnlineEngine:
         compute_dtype=None,
         use_pallas_frontend: bool = False,
         dft_precision="auto",
+        carry_hops: bool = False,
     ):
+        """``carry_hops`` (recurrent models only; default False) threads RNN
+        state across hops, so each hop's window is scored from the previous
+        hop's final hidden state. The default scores every hop's window from
+        fresh zero state — the reference's ACTUAL live behavior (its
+        streaming_state plumbing is a base-class no-op for lstm/gru/las, ref
+        howl/model/base.py:31-36; empirically pinned in
+        tests/test_composed_differential_rnn.py) and the same stateless-
+        window semantics the offline StreamingEngine default uses, so
+        thresholds tuned offline transfer to live serving unchanged. This is
+        the per-hop analogue of StreamingEngine's ``carry_windows``."""
         self.model = model
         self.variables = cast_compute_dtype(variables, compute_dtype)
         self.compute_dtype = compute_dtype
@@ -116,6 +127,12 @@ class OnlineEngine:
         from howl_tpu.inference.config import serving_dft_precision
 
         self._dft_precision = serving_dft_precision(compute_dtype, dft_precision)
+        if carry_hops and not self.spec.is_recurrent:
+            raise ValueError(
+                f"carry_hops threads RNN state across hops and applies to "
+                f"recurrent models only; {self.spec.name!r} is not recurrent"
+            )
+        self.carry_hops = bool(carry_hops)
         self.num_streams = num_streams
         self.window_samples = int(cfg.max_window_size_ms / 1000 * cfg.sample_rate)
         # hop-quantized step like every other engine (the raw cfg stride
@@ -191,9 +208,14 @@ class OnlineEngine:
         if self.curr_time >= _REBASE_AT:
             self.state = _rebase_times(self.state, _REBASE_DELTA)
             self.curr_time -= _REBASE_DELTA
-        self.state, label, fired_now, self.carry = self._step(
+        self.state, label, fired_now, new_carry = self._step(
             self.variables, audio, self.state, jnp.float32(self.curr_time), self.carry
         )
+        if self.carry_hops:
+            # stateless default keeps carry None: every hop's window scores
+            # from fresh zero RNN state, matching the offline engine (and the
+            # reference's actual live behavior — see __init__)
+            self.carry = new_carry
         self.curr_time += self.stride_ms
         self.last_labels = np.asarray(label)
         self.last_fired = np.asarray(fired_now)
@@ -237,7 +259,10 @@ class IncrementalOnlineEngine:
         num_streams: int = 1,
         compute_dtype=None,
         dft_precision="auto",
+        carry_hops: bool = False,
     ):
+        """``carry_hops``: see OnlineEngine — default scores each hop's
+        window from fresh zero RNN state (offline/reference parity)."""
         import dataclasses
 
         self.model = model
@@ -256,6 +281,12 @@ class IncrementalOnlineEngine:
         from howl_tpu.inference.config import serving_dft_precision
 
         self._dft_precision = serving_dft_precision(compute_dtype, dft_precision)
+        if carry_hops and not self.spec.is_recurrent:
+            raise ValueError(
+                f"carry_hops threads RNN state across hops and applies to "
+                f"recurrent models only; {self.spec.name!r} is not recurrent"
+            )
+        self.carry_hops = bool(carry_hops)
         self.num_streams = num_streams
 
         hop, n_fft = frontend.hop_length, frontend.n_fft
@@ -328,10 +359,13 @@ class IncrementalOnlineEngine:
         if self.curr_time >= _REBASE_AT:
             self.state = _rebase_times(self.state, _REBASE_DELTA)
             self.curr_time -= _REBASE_DELTA
-        self.tail, self.mel_ring, self.state, label, fired_now, self.carry = self._step(
+        self.tail, self.mel_ring, self.state, label, fired_now, new_carry = self._step(
             self.variables, audio, self.tail, self.mel_ring, self.state,
             jnp.float32(self.curr_time), self.carry,
         )
+        if self.carry_hops:
+            # stateless default keeps carry None (see OnlineEngine.__init__)
+            self.carry = new_carry
         self.curr_time += self.stride_ms
         self.last_labels = label
         # fetch ONCE: the relay charges ~31 ms per device->host fetch, so the

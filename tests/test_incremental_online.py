@@ -32,7 +32,7 @@ CFG = EngineConfig(
 FRONTEND = FrontendConfig(n_mels=40)
 
 
-def _make(model_name="res8", num_streams=1):
+def _make(model_name="res8", num_streams=1, **engine_kwargs):
     model = create_model(model_name, num_labels=4)
     feats0 = featurize(
         np.zeros((1, 8000), np.float32),
@@ -40,7 +40,8 @@ def _make(model_name="res8", num_streams=1):
     )
     variables = model.init({"params": jax.random.PRNGKey(3)}, feats0, train=False)
     eng = IncrementalOnlineEngine(
-        model, variables, CFG, FRONTEND, spec=model_spec(model_name), num_streams=num_streams
+        model, variables, CFG, FRONTEND, spec=model_spec(model_name),
+        num_streams=num_streams, **engine_kwargs,
     )
     return eng, model, variables
 
@@ -99,13 +100,54 @@ def test_labels_match_direct_window_scoring():
 
 
 def test_multistream_and_recurrent_push():
+    """Default: recurrent hops score STATELESS windows (fresh zero RNN state
+    per hop — offline/reference parity, see OnlineEngine.__init__);
+    carry_hops=True opts into threading state across pushes."""
     eng, _, _ = _make("lstm", num_streams=3)
     rng = np.random.default_rng(2)
     for _ in range(6):
         fired = eng.push(rng.standard_normal((3, eng.hop_samples)).astype(np.float32) * 0.05)
         assert isinstance(fired, bool)
-    assert eng.carry is not None  # recurrent state threads across pushes
+    assert eng.carry is None  # stateless default: no state across pushes
     assert np.asarray(eng.last_labels).shape == (3,)
+
+    carry_eng, _, _ = _make("lstm", num_streams=3, carry_hops=True)
+    for _ in range(2):
+        carry_eng.push(rng.standard_normal((3, eng.hop_samples)).astype(np.float32) * 0.05)
+    assert carry_eng.carry is not None  # opt-in state threads across pushes
+
+
+def test_recurrent_stateless_hops_are_history_independent():
+    """The tune/serve seam carry_hops=False exists for: an lstm window pushed
+    through the live engine scores from fresh zero RNN state — exactly the
+    offline StreamingEngine's stateless-window semantics (ring frames are
+    bit-equal to clip-level frames per the tests above, and zero-state
+    scoring is then a pure function of the window) — so the label must not
+    depend on what audio preceded the window live."""
+    eng, model, variables = _make("lstm")
+    rng = np.random.default_rng(9)
+    # two different live histories, same final window
+    histories = [rng.standard_normal(16000).astype(np.float32) * 0.1 for _ in range(2)]
+    final_hop = rng.standard_normal(eng.hop_samples).astype(np.float32) * 0.1
+    labels = []
+    for hist in histories:
+        eng.reset()
+        clip = np.concatenate([hist, final_hop])
+        for i in range(0, len(clip), eng.hop_samples):
+            eng.push(clip[None, i : i + eng.hop_samples])
+        labels.append(int(np.asarray(eng.last_labels)[0]))
+    assert labels[0] == labels[1], "stateless hop label depends on live history"
+
+    # carry_hops=True is the behavioral toggle: posteriors now depend on
+    # history, so at least the carry changes (labels may coincide by chance)
+    carry_eng, _, _ = _make("lstm", carry_hops=True)
+    carry_eng.push(final_hop[None, :])
+    assert carry_eng.carry is not None
+
+
+def test_carry_hops_requires_recurrent_model():
+    with pytest.raises(ValueError, match="recurrent"):
+        _make("res8", carry_hops=True)
 
 
 def test_push_shape_validation():
